@@ -1,0 +1,115 @@
+"""Go-stdlib-faithful string / regex / number helpers.
+
+Every parity-critical scalar transform in the reference is reimplemented
+here once, in pure Python, and reused by BOTH the golden single-threaded
+simulator and the vectorized Spark UDFs — so there is exactly one
+implementation to pin against the Go semantics.
+
+Citations are to /root/reference (Alvazz/gocrawler).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+# --- regexes used by the reference, translated RE2 -> Python ------------
+# Go RE2 `\s` is ASCII-only: [\t\n\f\r ]. Python `\s` on str is Unicode,
+# so parity-critical patterns spell the class out explicitly.
+_GO_WS = r"[\t\n\f\r ]"
+
+# `(?m)( {2,})` — mixup.go:118,185
+SPACE_CLEANER = re.compile(r"( {2,})", re.M)
+# `(?m)(\r\n|\r|\n|\t)+` — mixup.go:186 (Go Split ignores capture groups)
+DIVIDER = re.compile(r"(?:\r\n|\r|\n|\t)+", re.M)
+# `(?m):|\s{2,}|\n+` — amazon.go:220,230
+KEY_CLEANER = re.compile(r":|" + _GO_WS + r"{2,}|\n+", re.M)
+# `(?m)\s{2,}|\n+` — amazon.go:250
+WS_CLEANER = re.compile(_GO_WS + r"{2,}|\n+", re.M)
+
+# Go unicode.IsSpace set used by strings.TrimSpace / strings.Fields
+_GO_TRIM_SET = "\t\n\v\f\r \x85\xa0"
+_FIELDS_RE = re.compile("[" + _GO_TRIM_SET + "]+")
+
+
+def trim_space(s: str) -> str:
+    """strings.TrimSpace."""
+    return s.strip(_GO_TRIM_SET)
+
+
+def fields(s: str) -> list[str]:
+    """strings.Fields — split on runs of unicode whitespace, drop empties."""
+    return [f for f in _FIELDS_RE.split(s) if f]
+
+
+def parse_float(s: str) -> tuple[float, bool]:
+    """strconv.ParseFloat(s, 64) -> (value, ok). Go returns 0 on error;
+    callers in the reference log and keep the zero value
+    (mixup.go:141-146, amazon.go:155-158)."""
+    if not isinstance(s, str) or s == "" or s != s.strip():
+        # Go ParseFloat rejects surrounding whitespace; Python float() strips
+        return 0.0, False
+    try:
+        return float(s), True
+    except ValueError:
+        return 0.0, False
+
+
+def to_currency_cents(f: float) -> int:
+    """item.Currency cents: ``Currency((f*100)+0.5)`` — currency.go:10-12.
+    Go float->int conversion truncates toward zero (NOT round-half-up for
+    negatives); prices are non-negative in practice."""
+    return int(f * 100 + 0.5)
+
+
+def currency_string(cents: int) -> str:
+    """Currency.String() — ``$%.2f`` of cents/100 (currency.go:28-33)."""
+    return "$%.2f" % (cents / 100)
+
+
+def md5_hex(text: str) -> str:
+    """ciphersuite.GetMD5Hash — md5.go:9-15."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def create_id(*strs: str) -> str:
+    """item.CreateID — join with '/' then md5 (item.go:84-94)."""
+    return md5_hex("/".join(strs))
+
+
+def absolute_url(base_url: str, href: str) -> str:
+    """colly Request.AbsoluteURL [colly v1.2.0], used at mixup.go:90 and
+    scraper.go:190: '' for fragment-only links, resolve against the
+    request URL, drop the fragment."""
+    if href.startswith("#"):
+        return ""
+    try:
+        abs_url = urljoin(base_url, href)
+        parts = urlsplit(abs_url)
+    except ValueError:
+        return ""
+    if not parts.scheme:
+        return ""
+    return urlunsplit((parts.scheme, parts.netloc, parts.path, parts.query, ""))
+
+
+def url_host(url: str) -> str:
+    try:
+        return urlsplit(url).netloc
+    except ValueError:
+        return ""
+
+
+def url_raw_query(url: str) -> str:
+    try:
+        return urlsplit(url).query
+    except ValueError:
+        return ""
+
+
+def url_path(url: str) -> str:
+    try:
+        return urlsplit(url).path
+    except ValueError:
+        return ""

@@ -1,0 +1,401 @@
+"""Minimal DOM + goquery-compatible traversal built on the Python stdlib.
+
+The reference crawler (Alvazz/gocrawler) extracts data with goquery
+(``github.com/PuerkitoBio/goquery``) selections over pages fetched by
+colly. This container has no lxml/bs4/selectolax, so we implement the
+small DOM + selector subset the reference actually uses, with semantics
+pinned to goquery where they are observable:
+
+* ``Sel.text()`` — concatenation of **all text nodes in document order**
+  with no normalization whatsoever (goquery ``Selection.Text()``).
+* CSS subset: tag, ``#id``, ``.class``, ``[attr="v"]``, ``[attr*="v"]``,
+  descendant, child ``>``, general sibling ``~``, and comma groups.
+  This covers every selector in the reference
+  (`/root/reference/pkg/scraper/mixup.go:70-210`,
+  `/root/reference/pkg/scraper/amazon.go:100-291`).
+* Traversals used by the reference: Find, Filter, FilterFunction,
+  ChildrenFiltered, Contents, Next, NextAllFiltered, Parent, HasClass,
+  Attr, Each.
+
+This module is deliberately dependency-free so the same code runs inside
+pandas UDF workers on executors and in the single-threaded golden
+simulator (tests compare the two byte-for-byte).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class Node:
+    """One DOM node: element or text."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "is_text", "data", "order")
+
+    def __init__(self, tag="", attrs=None, parent=None, is_text=False, data="", order=0):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children = []
+        self.parent = parent
+        self.is_text = is_text
+        self.data = data
+        self.order = order
+
+    # -- helpers ---------------------------------------------------------
+    def classes(self):
+        return self.attrs.get("class", "").split()
+
+    def iter_subtree(self):
+        """Yield descendants (not self) in document order."""
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            yield n
+            stack.extend(reversed(n.children))
+
+    def text(self):
+        """goquery ``.Text()``: all text-node data, document order, raw."""
+        parts = []
+        if self.is_text:
+            parts.append(self.data)
+        for n in self.iter_subtree():
+            if n.is_text:
+                parts.append(n.data)
+        return "".join(parts)
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        if self.is_text:
+            return f"Text({self.data!r})"
+        return f"<{self.tag} {self.attrs}>"
+
+
+class _DomBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node(tag="#document")
+        self._stack = [self.root]
+        self._order = 0
+
+    def _push(self, node):
+        self._order += 1
+        node.order = self._order
+        node.parent = self._stack[-1]
+        self._stack[-1].children.append(node)
+        return node
+
+    def handle_starttag(self, tag, attrs):
+        node = self._push(Node(tag=tag, attrs={k: (v or "") for k, v in attrs}))
+        if tag not in VOID_ELEMENTS:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self._push(Node(tag=tag, attrs={k: (v or "") for k, v in attrs}))
+
+    def handle_endtag(self, tag):
+        # close nearest matching open element (tolerant, like html5 parsers)
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self._push(Node(is_text=True, data=data))
+
+
+def parse_html(html):
+    """Parse an HTML string (or bytes, UTF-8) into a DOM root node."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    b = _DomBuilder()
+    b.feed(html)
+    b.close()
+    return b.root
+
+
+# ---------------------------------------------------------------------------
+# CSS selector subset
+# ---------------------------------------------------------------------------
+
+_SIMPLE_RE = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][\w-]*|\*)
+    | \#(?P<id>[\w-]+)
+    | \.(?P<cls>[\w-]+)
+    | \[(?P<attr>[\w-]+)(?:(?P<op>\*?=)["'](?P<val>[^"']*)["'])?\]
+    """,
+    re.X,
+)
+
+
+def _parse_compound(s):
+    """Parse one compound selector like ``div.a-section.celwidget[id*="x"]``."""
+    out = {"tag": None, "id": None, "classes": [], "attrs": []}
+    pos = 0
+    while pos < len(s):
+        m = _SIMPLE_RE.match(s, pos)
+        if not m:
+            raise ValueError(f"unsupported selector fragment: {s[pos:]!r} in {s!r}")
+        if m.group("tag"):
+            out["tag"] = None if m.group("tag") == "*" else m.group("tag").lower()
+        elif m.group("id"):
+            out["id"] = m.group("id")
+        elif m.group("cls"):
+            out["classes"].append(m.group("cls"))
+        else:
+            out["attrs"].append((m.group("attr"), m.group("op"), m.group("val")))
+        pos = m.end()
+    return out
+
+
+_COMBINATOR_RE = re.compile(r"\s*([>~+])\s*|\s+")
+
+
+def _parse_group(group):
+    """Parse one comma-free selector into [(combinator, compound), ...].
+
+    The first entry's combinator is ``' '`` (descendant of the context node).
+    """
+    group = group.strip()
+    steps = []
+    pos = 0
+    comb = " "
+    while pos < len(group):
+        # read one compound: up to the next combinator at depth 0
+        m = _COMBINATOR_RE.search(group, pos)
+        # careful: whitespace inside [attr="a b"] — our selectors don't have
+        # spaces inside brackets except attr values; guard by bracket depth
+        end = len(group)
+        depth = 0
+        i = pos
+        while i < len(group):
+            c = group[i]
+            if c == "[":
+                depth += 1
+            elif c == "]":
+                depth -= 1
+            elif depth == 0 and (c.isspace() or c in ">~+"):
+                end = i
+                break
+            i += 1
+        steps.append((comb, _parse_compound(group[pos:end])))
+        # consume combinator
+        j = end
+        comb = " "
+        while j < len(group) and (group[j].isspace() or group[j] in ">~+"):
+            if group[j] in ">~+":
+                comb = group[j]
+            j += 1
+        pos = j
+    return steps
+
+
+def parse_selector(selector):
+    """Parse a selector list (comma groups). Bracket-aware comma split."""
+    groups, depth, start = [], 0, 0
+    for i, c in enumerate(selector):
+        if c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            groups.append(selector[start:i])
+            start = i + 1
+    groups.append(selector[start:])
+    return [_parse_group(g) for g in groups if g.strip()]
+
+
+def _match_compound(node, comp):
+    if node.is_text:
+        return False
+    if comp["tag"] is not None and node.tag != comp["tag"]:
+        return False
+    if comp["id"] is not None and node.attrs.get("id") != comp["id"]:
+        return False
+    if comp["classes"]:
+        cls = set(node.classes())
+        if not all(c in cls for c in comp["classes"]):
+            return False
+    for attr, op, val in comp["attrs"]:
+        if attr not in node.attrs:
+            return False
+        if op == "=" and node.attrs[attr] != val:
+            return False
+        if op == "*=" and val not in node.attrs[attr]:
+            return False
+    return True
+
+
+def select(context, selector):
+    """All descendants of *context* matching *selector*, document order."""
+    groups = selector if isinstance(selector, list) else parse_selector(selector)
+    out, seen = [], set()
+    for n in context.iter_subtree():
+        if n.is_text:
+            continue
+        for steps in groups:
+            if _match_node_against_group(n, steps, context):
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    out.append(n)
+                break
+    return out
+
+
+def _match_node_against_group(node, steps, context):
+    """Match *node* as the target of the last compound in *steps*."""
+
+    def holds(n, idx):
+        _, comp = steps[idx]
+        if not _match_compound(n, comp):
+            return False
+        if idx == 0:
+            return _is_descendant(n, context)
+        comb = steps[idx][0]
+        if comb == " ":
+            p = n.parent
+            while p is not None:
+                if holds(p, idx - 1):
+                    return True
+                p = p.parent
+            return False
+        if comb == ">":
+            return n.parent is not None and holds(n.parent, idx - 1)
+        if comb in "~+":
+            if n.parent is None:
+                return False
+            sibs = [s for s in n.parent.children if not s.is_text]
+            k = sibs.index(n)
+            if comb == "+":
+                return k > 0 and holds(sibs[k - 1], idx - 1)
+            return any(holds(sibs[j], idx - 1) for j in range(k))
+        return False
+
+    return holds(node, len(steps) - 1)
+
+
+def _is_descendant(n, context):
+    if context.tag == "#document" and context.parent is None:
+        return True
+    p = n.parent
+    while p is not None:
+        if p is context:
+            return True
+        p = p.parent
+    return False
+
+
+def matches(node, selector):
+    """goquery ``Selection.Is`` for simple selectors (no combinators)."""
+    groups = parse_selector(selector)
+    return any(
+        len(steps) == 1 and _match_compound(node, steps[0][1]) for steps in groups
+    )
+
+
+# ---------------------------------------------------------------------------
+# goquery-like Selection
+# ---------------------------------------------------------------------------
+
+
+class Sel:
+    """A goquery-like selection: ordered list of nodes."""
+
+    __slots__ = ("nodes",)
+
+    def __init__(self, nodes=()):
+        self.nodes = list(nodes)
+
+    def __len__(self):
+        return len(self.nodes)
+
+    def __iter__(self):
+        for n in self.nodes:
+            yield Sel([n])
+
+    @property
+    def node(self):
+        return self.nodes[0] if self.nodes else None
+
+    def find(self, selector):
+        groups = parse_selector(selector)
+        out, seen = [], set()
+        for n in self.nodes:
+            for m in select(n, groups):
+                if id(m) not in seen:
+                    seen.add(id(m))
+                    out.append(m)
+        return Sel(out)
+
+    def filter(self, selector):
+        return Sel([n for n in self.nodes if matches(n, selector)])
+
+    def filter_fn(self, fn):
+        return Sel([n for i, n in enumerate(self.nodes) if fn(i, n)])
+
+    def children_filtered(self, selector):
+        out = []
+        for n in self.nodes:
+            out.extend(c for c in n.children if not c.is_text and matches(c, selector))
+        return Sel(out)
+
+    def contents(self):
+        out = []
+        for n in self.nodes:
+            out.extend(n.children)
+        return Sel(out)
+
+    def next(self):
+        """Immediate next sibling *element* (goquery Next)."""
+        out = []
+        for n in self.nodes:
+            if n.parent is None:
+                continue
+            sibs = [s for s in n.parent.children if not s.is_text]
+            try:
+                k = sibs.index(n)
+            except ValueError:
+                continue
+            if k + 1 < len(sibs):
+                out.append(sibs[k + 1])
+        return Sel(out)
+
+    def next_all_filtered(self, selector):
+        out = []
+        for n in self.nodes:
+            if n.parent is None:
+                continue
+            sibs = [s for s in n.parent.children if not s.is_text]
+            k = sibs.index(n)
+            out.extend(s for s in sibs[k + 1 :] if matches(s, selector))
+        return Sel(out)
+
+    def parent(self):
+        out, seen = [], set()
+        for n in self.nodes:
+            if n.parent is not None and id(n.parent) not in seen:
+                seen.add(id(n.parent))
+                out.append(n.parent)
+        return Sel(out)
+
+    def text(self):
+        return "".join(n.text() for n in self.nodes)
+
+    def attr(self, name, default=""):
+        for n in self.nodes:
+            if name in n.attrs:
+                return n.attrs[name]
+        return default
+
+    def has_class(self, cls):
+        return any(cls in n.classes() for n in self.nodes)
+
+    def each(self, fn):
+        for i, n in enumerate(self.nodes):
+            fn(i, Sel([n]))
+        return self

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the crawl workload.
+
+Local sandbox runs use ``local[N]``; on a real cluster the same settings
+apply (minus master) via spark-submit. Knobs chosen for the frontier
+workload:
+
+* AQE on (runtime coalesce + skew-join splitting — the pages join is
+  host-skewed by construction).
+* Arrow on (every extractor is a pandas UDF / mapInPandas).
+* shuffle partitions sized to cores locally; at cluster scale AQE
+  coalesces, and frontier tables are bucketed on url_hash so the big
+  MERGE/anti-join shuffles hash-partition evenly regardless of host skew.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    cpus: int | None = None,
+    app_name: str = "gocrawler-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # runtime bloom pushdown helps the seen anti-join for free
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

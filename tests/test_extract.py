@@ -1,0 +1,180 @@
+"""Extraction-core parity tests (E1-E16, F8/F9) vs the Go reference
+semantics (citations inline)."""
+
+from gocrawler_spark import gofuncs as go
+from gocrawler_spark.datagen import (
+    AMAZON_CAPTCHA_HTML,
+    AMAZON_CAPTCHA_URL,
+    AMAZON_PRODUCT_HTML,
+    AMAZON_PRODUCT_URL,
+    MIXUP_PRODUCT_HTML,
+    MIXUP_PRODUCT_URL,
+)
+from gocrawler_spark.extract import extract_page
+from gocrawler_spark.htmlmini import Sel, parse_html
+from gocrawler_spark.profiles import AMAZON, MIXUP
+
+
+def test_gofuncs_currency():
+    # currency.go:10-12 — Currency((f*100)+0.5) truncates
+    assert go.to_currency_cents(1.23) == 123
+    assert go.to_currency_cents(1.345) == 135  # docstring example: 1.345 -> $1.35
+    assert go.to_currency_cents(4.35) == 435
+    assert go.to_currency_cents(0.0) == 0
+    # float trap: 4.35*100 = 434.99999... +0.5 -> 435.49 -> 435
+    assert go.to_currency_cents(349.50) == 34950
+    assert go.currency_string(34950) == "$349.50"
+    assert go.currency_string(0) == "$0.00"
+
+
+def test_gofuncs_parse_float_go_semantics():
+    assert go.parse_float("399.00") == (399.0, True)
+    # Go ParseFloat rejects surrounding whitespace (no trimming)
+    assert go.parse_float(" 399.00") == (0.0, False)
+    assert go.parse_float("399.00 ") == (0.0, False)
+    assert go.parse_float("") == (0.0, False)
+    assert go.parse_float("x12") == (0.0, False)
+
+
+def test_gofuncs_ids():
+    # md5.go:9-15 + item.go:84-94
+    assert go.md5_hex("abc") == "900150983cd24fb0d6963f7d28e17f72"
+    assert go.create_id("The Wall(Deluxe)", "Mixup") == go.md5_hex(
+        "The Wall(Deluxe)/Mixup"
+    )
+
+
+def test_absolute_url_colly_semantics():
+    base = "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=1"
+    assert go.absolute_url(base, "#frag") == ""  # fragment-only -> ''
+    assert (
+        go.absolute_url(base, "detproducto.aspx?sku=2")
+        == "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=2"
+    )
+    assert (
+        go.absolute_url(base, "/Mixup/Home.aspx")
+        == "https://www.mixup.com.mx/Mixup/Home.aspx"
+    )
+    # fragments are dropped from resolved URLs
+    assert (
+        go.absolute_url(base, "https://a.example/p?q=1#x") == "https://a.example/p?q=1"
+    )
+    assert go.absolute_url(base, "//cdn.example/x") == "https://cdn.example/x"
+
+
+def test_profile_regexes_pin_go_behavior():
+    # mixup.go:28-29 — admission + product classifier
+    ok = [
+        "https://www.mixup.com.mx/Mixup/Home.aspx",
+        "https://www.mixup.com.mx/mixup/home.aspx",
+        "https://www.mixup.com.mx/Mixup/Categoria.aspx?etq=rock",
+        "https://www.mixup.com.mx/Mixup/Productos.aspx?etq=pop&pg=2",
+        "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=194397052312",
+    ]
+    bad = [
+        "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=abc",
+        "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=123&x=1",  # $ anchor
+        "https://www.mixup.com.mx/Mixup/Categoria.aspx?pg=2",  # missing etq=
+        "https://otro.example/Mixup/Home.aspx",
+        "https://www.mixup.com.mx/other/page.html",
+    ]
+    for u in ok:
+        assert MIXUP.link_re.search(u), u
+    for u in bad:
+        assert not MIXUP.link_re.search(u), u
+    assert MIXUP.product_re.search(
+        "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=194397052312"
+    )
+    # sku must be >=12 digits for product classification (mixup.go:29)
+    assert not MIXUP.product_re.search(
+        "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=1943970523"
+    )
+    # amazon.go:45-46
+    assert AMAZON.link_re.search(AMAZON_PRODUCT_URL)
+    assert AMAZON.link_re.search("https://www.amazon.com.mx/s?k=macbook")
+    assert AMAZON.product_re.search(AMAZON_PRODUCT_URL)
+    assert not AMAZON.product_re.search("https://www.amazon.com.mx/s?k=macbook")
+
+
+def test_mixup_extraction_full():
+    ex = extract_page(MIXUP_PRODUCT_URL, MIXUP_PRODUCT_HTML, MIXUP)
+    # E1/E2: empty href skipped (mixup.go:86-88), '#frag' -> '' dropped
+    assert ex["links"] == [
+        "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=194397052313",
+        "https://www.mixup.com.mx/Mixup/Categoria.aspx?etq=rock",
+        "https://www.mixup.com.mx/Mixup/Home.aspx",
+    ]
+    # E3: the reference swaps keywords/description (mixup.go:72-73)
+    assert ex["keywords"] == "rock,cd,sony"
+    assert ex["description"] == "Un disco de rock"
+    assert ex["og_image"] == "https://cdn.mixup.com/im.jpg"
+    item = ex["item"]
+    # E4: field0=name (2+ spaces removed), field1=brand, k:v details
+    assert item["name"] == "The Wall(Deluxe)"
+    assert item["brand"] == "Pink Floyd"
+    assert item["details"] == {"Formato": "CD", "Genero": "Rock", "Discos": "2"}
+    # E5: description trimmed only (internal whitespace preserved)
+    assert item["description"] == "Edicion remasterizada\n       con libreto."
+    # E6: .descartado skipped; ' $ 399.00' fails Go ParseFloat (leading
+    # space survives the 2+-space cleaner) -> 0; last non-empty wins ->
+    # '$  349.50' -> '$349.50' -> 34950
+    assert item["price_cents"] == 34950
+    assert item["id"] == go.md5_hex("The Wall(Deluxe)/Mixup")
+    assert item["rating"] == 0.0 and item["reviews"] == []
+
+
+def test_mixup_no_actions_no_item():
+    # saveProduct lives in GetProductPrice (mixup.go:162): no div.actions,
+    # no item
+    html = MIXUP_PRODUCT_HTML.replace('class="actions"', 'class="other"')
+    assert extract_page(MIXUP_PRODUCT_URL, html, MIXUP)["item"] is None
+    # sku gate (mixup.go:105,117)
+    url = "https://www.mixup.com.mx/Mixup/Categoria.aspx?etq=rock"
+    assert extract_page(url, MIXUP_PRODUCT_HTML, MIXUP)["item"] is None
+
+
+def test_amazon_extraction_full():
+    ex = extract_page(AMAZON_PRODUCT_URL, AMAZON_PRODUCT_HTML, AMAZON)
+    # E1: amazon links only from the s-main-slot result list (amazon.go:101)
+    assert ex["links"] == [
+        "https://www.amazon.com.mx/Gildan-Camiseta/dp/B077ZKK9YB/ref=sr_1_1"
+    ]
+    item = ex["item"]
+    assert item["name"] == 'Apple MacBook Air 13"'
+    assert item["brand"] == "Apple"
+    assert item["rating"] == 4.8
+    assert item["price_cents"] == 2599900
+    # E8 wins over E9 (document order, SetDetails overwrites, amazon.go:209)
+    assert item["details"] == {"Fabricante ": "Apple Inc", "Pilasincluidas": "Si"}
+    # E10 reviews in widget order; date read-and-discarded (amazon.go:255)
+    assert [r["author"] for r in item["reviews"]] == ["Juan", "Ana"]
+    assert item["reviews"][0]["stars"] == 5.0
+    assert item["reviews"][0]["content"] == "Muybuenamaquinarapida"
+    assert item["reviews"][0]["date"] is None
+    assert item["id"] == go.md5_hex('Apple MacBook Air 13"/Amazon')
+
+
+def test_amazon_table_details_when_no_bullets():
+    # getDetails (amazon.go:228-240): td contents filtered to spans +
+    # text nodes ('<b>ignorado</b>' excluded), KEY_CLEANER applied to both
+    html = AMAZON_PRODUCT_HTML.replace('id="detailBulletsWrapper_feature_div"', 'id="x"')
+    item = extract_page(AMAZON_PRODUCT_URL, html, AMAZON)["item"]
+    assert item["details"] == {"Marca": "Apple extra", "Peso del producto": "1.29 kg"}
+
+
+def test_amazon_no_reviews_anchor_no_item():
+    # item persisted only inside GetProductReviews (amazon.go:284)
+    html = AMAZON_PRODUCT_HTML.replace('id="customer-reviews-content"', 'id="nope"')
+    assert extract_page(AMAZON_PRODUCT_URL, html, AMAZON)["item"] is None
+
+
+def test_captcha_detection():
+    ex = extract_page(AMAZON_CAPTCHA_URL, AMAZON_CAPTCHA_HTML, AMAZON)
+    assert ex["is_captcha"] is True and ex["item"] is None
+
+
+def test_goquery_text_semantics():
+    dom = parse_html("<div><p>a<b>b</b></p>c<span>d</span></div>")
+    assert Sel([dom]).find("div").text() == "abcd"
+    # selection of multiple nodes concatenates in selection order
+    assert Sel([dom]).find("p, span").text() == "abd"
