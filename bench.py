@@ -1,0 +1,211 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Headline workloads:
+* ``schedule_dedupe`` — the north-rule metric path: a synthetic frontier
+  of candidate URLs (scaled off the sf dir) through normalize → admission
+  (F1/F2) → robots (F5) → bloom prefilter + exact seen anti-join (F4/J4)
+  → salted politeness selection (O3). Reports urls_scheduled_deduped/s.
+* ``crawl_round`` — full end-to-end rounds over pages rendered from the
+  sf documents table (fetch join J2 + vectorized extraction E*).
+* ``minhash_lsh`` / ``ann_bruteforce`` / ``fetch_join`` — training-data
+  and join headliners.
+
+Extra keys beyond the driver contract: "throughput" (urls/s) and
+"parallelism".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from gocrawler_spark.session import default_parallelism, get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = default_parallelism()
+
+# frontier size for the scheduling bench, scaled off the sf dir
+_SF_FRONTIER = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+N_FRONTIER = int(
+    os.environ.get(
+        "SPARK_GRAFT_FRONTIER_N",
+        _SF_FRONTIER.get(os.path.basename(SF_DIR.rstrip("/")), 500_000),
+    )
+)
+
+
+def synthetic_frontier(spark, n: int, n_hosts: int = 200):
+    """Candidate URLs shaped like the crawl corpus (zipf-ish host skew:
+    host 0 carries ~30%), plus ~10% off-pattern noise — all generated
+    distributed via spark.range (no driver-side loop)."""
+    base = spark.range(n).withColumn(
+        "hid",
+        F.when(F.pmod(F.xxhash64("id"), 100) < 30, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("id", F.lit(1)), n_hosts - 1) + 1
+        ),
+    )
+    host = F.format_string("shop%03d.example", F.col("hid").cast("int"))
+    sku = F.format_string("%012d", F.pmod(F.xxhash64("id", F.lit(2)), 899999999999) + 100000000000)
+    noise = F.pmod(F.xxhash64("id", F.lit(3)), 10) == 0
+    url = F.when(
+        noise, F.concat(F.lit("https://"), host, F.lit("/other/x"), F.col("id").cast("string"))
+    ).otherwise(
+        F.concat(F.lit("https://"), host, F.lit("/Mixup/detproducto.aspx?sku="), sku)
+    )
+    return base.select(
+        url.alias("url"), F.lit(1).alias("depth"), F.lit(0).alias("priority")
+    )
+
+
+def bench_schedule_dedupe(spark):
+    """North-rule metric: URLs scheduled+deduped per second."""
+    from gocrawler_spark.datagen import hosts_list
+    from gocrawler_spark.operators.bloom import bloom_prefilter, build_bloom
+    from gocrawler_spark.operators.frontier import admission_filter, normalize_candidates
+    from gocrawler_spark.operators.politeness import select_fetch_set
+    from gocrawler_spark.operators.robots import robots_filter
+    from gocrawler_spark.profiles import synthetic_profile
+
+    n_hosts = 200
+    hosts = hosts_list(n_hosts)
+    profile = synthetic_profile(tuple(hosts))
+    cand = synthetic_frontier(spark, N_FRONTIER, n_hosts).cache()
+    n_cand = cand.count()
+    # seen set = a disjoint batch of earlier URLs plus 20% overlap
+    seen = (
+        synthetic_frontier(spark, N_FRONTIER // 2, n_hosts)
+        .select(F.md5(F.concat("url", F.when(F.pmod(F.xxhash64("url"), 5) == 0, F.lit("")).otherwise(F.lit("#prev")))).alias("url_hash"))
+        .cache()
+    )
+    seen.count()
+    robots = spark.createDataFrame(
+        [(h, "*", "disallow" if k == 3 else "allow",
+          "/Mixup/detproducto" if k == 3 else "/", 1500)
+         for k, h in enumerate(hosts)],
+        "host string, agent string, rule string, path_prefix string, crawl_delay_ms long",
+    )
+
+    t0 = time.time()
+    c = normalize_candidates(cand)
+    c = admission_filter(c, profile)
+    c = robots_filter(c, robots)
+    bloom = build_bloom(seen, "url_hash", 1 << 26, 5)
+    c = bloom_prefilter(c, "url_hash", bloom)
+    definite = c.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = c.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed = maybe.join(seen, "url_hash", "left_anti")
+    new = definite.unionByName(confirmed)
+    sel = select_fetch_set(new, credit_per_host=256, salt_parts=16)
+    n_sel = sel.filter("is_selected").count()
+    dt = time.time() - t0
+    cand.unpersist()
+    seen.unpersist()
+    return dt, {"urls_in": n_cand, "urls_selected": n_sel, "urls_per_sec": round(n_cand / dt, 1)}
+
+
+def bench_crawl_round(spark):
+    import tempfile
+
+    from gocrawler_spark.datagen import pages_from_documents
+    from gocrawler_spark.plans.crawl import CrawlConfig, CrawlJob
+    from gocrawler_spark.tables.catalog import SnapshotCatalog
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    pages, seeds, robots, profile = pages_from_documents(docs, n_hosts=16)
+    pages = pages.cache()
+    n_pages = pages.count()
+    cat = SnapshotCatalog(tempfile.mkdtemp(prefix="gocrawler_bench_"), spark)
+    job = CrawlJob(spark, cat, profile,
+                   CrawlConfig(credit_per_host=64, max_rounds=3, salt_parts=8, n_buckets=16))
+    seeds_df = spark.createDataFrame([(s["url"], s["priority"]) for s in seeds], "url string, priority int")
+    robots_df = spark.createDataFrame(
+        [(r["host"], r["agent"], r["rule"], r["path_prefix"], r["crawl_delay_ms"]) for r in robots],
+        "host string, agent string, rule string, path_prefix string, crawl_delay_ms long")
+    t0 = time.time()
+    job.init_run(seeds_df, robots_df)
+    hist = job.run(pages)
+    dt = time.time() - t0
+    fetched = sum(m["fetched"] for m in hist)
+    pages.unpersist()
+    return dt, {"pages": n_pages, "fetched": fetched, "fetched_per_sec": round(fetched / dt, 1)}
+
+
+def bench_minhash(spark):
+    from gocrawler_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.time()
+    n = minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.9).count()
+    return time.time() - t0, {"pairs": n}
+
+
+def bench_ann(spark):
+    from gocrawler_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter("vec_id < 50").select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.filter("vec_id >= 50")
+    t0 = time.time()
+    n = cosine_topk_bruteforce(corpus, queries, k=10).count()
+    return time.time() - t0, {"results": n}
+
+
+def bench_fetch_join(spark):
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    l = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    t0 = time.time()
+    n = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")).alias("rc"))
+        .count()
+    )
+    return time.time() - t0, {"groups": n}
+
+
+def main():
+    spark = get_spark(cpus=CPUS, app_name="gocrawler-bench",
+                      shuffle_partitions=max(CPUS * 2, 16))
+    benches = {
+        "schedule_dedupe": bench_schedule_dedupe,
+        "crawl_round": bench_crawl_round,
+        "minhash_lsh": bench_minhash,
+        "ann_bruteforce": bench_ann,
+        "fetch_join": bench_fetch_join,
+    }
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    times, extras = {}, {}
+    for name, fn in benches.items():
+        if only and name not in only.split(","):
+            continue
+        dt, extra = fn(spark)
+        times[name] = round(dt, 3)
+        extras[name] = extra
+        print(f"# {name}: {dt:.2f}s {extra}", file=sys.stderr)
+    out = {
+        "metric": "urls_scheduled_deduped_per_sec",
+        "value": extras.get("schedule_dedupe", {}).get("urls_per_sec", sum(times.values())),
+        "unit": "urls/sec" if "schedule_dedupe" in extras else "sec",
+        "queries": times,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "parallelism": CPUS,
+        "throughput": extras,
+        "total_sec": round(sum(times.values()), 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -219,6 +219,135 @@ def crawl_corpus(n_pages: int = 2000, n_hosts: int = 40):
 
 
 # ---------------------------------------------------------------------------
+# Driver-testdata bridge: render the documents table into a pages corpus
+# ---------------------------------------------------------------------------
+
+
+def doc_host(doc_id: int, n_hosts: int) -> str:
+    return f"shop{doc_id % n_hosts:03d}.example"
+
+
+def doc_url(doc_id: int, n_hosts: int) -> str:
+    return f"https://{doc_host(doc_id, n_hosts)}/Mixup/detproducto.aspx?sku={100000000000 + doc_id}"
+
+
+def pages_from_documents(docs_df, n_hosts: int = 16):
+    """Deterministically render the driver's ``documents`` table into a
+    ``pages`` web corpus (FIXTURES.md §1 shape): one product page per
+    document (name/brand/details/description derived from the row) plus
+    one home page per host linking its products. Inputs come from
+    /root/testdata — nothing is invented beyond the fixed templates.
+
+    Returns (pages_df(url, warc_ts, html, text, lang), seeds, robots,
+    profile)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .profiles import synthetic_profile
+
+    spark = docs_df.sparkSession
+    n_docs = docs_df.count()
+    hosts = tuple(f"shop{k:03d}.example" for k in range(n_hosts))
+    profile = synthetic_profile(hosts)
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang, source, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"], pdf["n_chars"]
+            ):
+                doc_id = int(doc_id)
+                host = doc_host(doc_id, n_hosts)
+                url = doc_url(doc_id, n_hosts)
+                words = str(text).split()
+                name = f"Doc {doc_id} " + " ".join(words[:3])
+                price = f"${(int(n_chars) % 9000) / 100 + 10:,.2f}"
+                links = [
+                    f"https://{host}/Mixup/Home.aspx",
+                    doc_url((doc_id + n_hosts) % n_docs, n_hosts),
+                    doc_url((doc_id * 7 + 3) % n_docs, n_hosts),
+                ]
+                anchors = "\n".join(f'  <a href="{u}">l</a>' for u in links)
+                html = f"""<html><head>
+  <meta name="Description" content="{lang},{source}">
+  <meta name="Keywords" content="Documento {doc_id}">
+</head><body>
+  <div class="w"><div class="detail">
+    {name}
+    {source}
+    Lang: {lang}
+    Chars: {n_chars}
+  </div></div>
+  <div class="productcontent"><div id="tabs-res">{str(text)[:120]}</div></div>
+  <div class="actions">
+    <span class="precioofertaNewDet">Precio: {price}</span>
+  </div>
+{anchors}
+</body></html>"""
+                rows.append((url, _warc_ts(url), html.encode(), str(lang)))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "lang"])
+
+    prod_pages = docs_df.select("doc_id", "text", "lang", "source", "n_chars").mapInPandas(
+        render, "url string, warc_ts timestamp, html binary, lang string"
+    )
+
+    # home pages: one per host, linking that host's products (collect_list)
+    homes_src = docs_df.select(
+        (F.col("doc_id") % n_hosts).cast("int").alias("h"), "doc_id"
+    ).groupBy("h").agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+
+    def render_home(batches):
+        for pdf in batches:
+            rows = []
+            for h, ids in zip(pdf["h"], pdf["ids"]):
+                host = f"shop{int(h):03d}.example"
+                url = f"https://{host}/Mixup/Home.aspx"
+                anchors = "\n".join(
+                    f'  <a href="{doc_url(int(i), n_hosts)}">p{int(i)}</a>' for i in ids
+                )
+                html = f"""<html><head><meta name="Keywords" content="Home {host}"></head>
+<body><h1>Home {host}</h1>
+{anchors}
+</body></html>"""
+                rows.append((url, _warc_ts(url), html.encode(), "es"))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "lang"])
+
+    home_pages = homes_src.mapInPandas(
+        render_home, "url string, warc_ts timestamp, html binary, lang string"
+    )
+
+    pages = prod_pages.unionByName(home_pages)
+
+    # golden text column via the shared extractor (byte-parity invariant)
+    from .extract import extract_text
+    from .htmlmini import parse_html
+
+    def add_text(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["text"] = [extract_text(parse_html(bytes(h))) for h in pdf["html"]]
+            yield pdf[["url", "warc_ts", "html", "text", "lang"]]
+
+    pages = pages.mapInPandas(
+        add_text, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    seeds = [
+        {"url": f"https://{hosts[k]}/Mixup/Home.aspx", "priority": 0}
+        for k in range(min(4, n_hosts))
+    ]
+    robots = []
+    for k, h in enumerate(hosts):
+        if k == 3:
+            robots.append({"host": h, "agent": "*", "rule": "disallow",
+                           "path_prefix": "/Mixup/detproducto", "crawl_delay_ms": 1500})
+        else:
+            robots.append({"host": h, "agent": "*", "rule": "allow",
+                           "path_prefix": "/", "crawl_delay_ms": 1500})
+    return pages, seeds, robots, profile
+
+
+# ---------------------------------------------------------------------------
 # Parity corpus: real-shaped Mixup + Amazon pages (unit tests)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,115 @@
+"""Text-analysis column functions for the documents corpus.
+
+All JVM-side built-ins (regexp/split/aggregate) — SQL-expressible so
+every one has a DuckDB oracle twin. These are the per-document quality
+signals a crawl corpus feeds into training-data curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lexicons (public, common words)
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"),
+}
+
+
+def tokens(col) -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+# BPE-ish word/punct segmentation: words-with-apostrophes | numbers | punct
+_BPE_RE = r"[a-zA-Z]+(?:'[a-zA-Z]+)?|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(col) -> Column:
+    """Sub-word-ish token count via regexp segmentation (JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(_BPE_RE), 0))
+
+
+def punct_ratio(col) -> Column:
+    """punctuation chars / total chars (0 for empty)."""
+    total = F.length(col)
+    punct = total - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.round(F.when(total > 0, punct / total).otherwise(F.lit(0.0)), 6)
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    sw = STOPWORDS[lang]
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*sw)))
+    return F.round(
+        F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0)), 6
+    )
+
+
+def mean_word_len(col) -> Column:
+    t = tokens(col)
+    return F.round(
+        F.when(
+            F.size(t) > 0,
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)) / F.size(t),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def quality_score(col) -> Column:
+    """Composite quality heuristic in [0,1]: rewards stopword presence
+    and sane word lengths, penalizes punctuation soup and tiny docs."""
+    length_term = F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - punct_ratio(col) * 5, F.lit(0.0))
+    wl = mean_word_len(col)
+    wl_term = F.when((wl >= 3) & (wl <= 10), 1.0).otherwise(0.5)
+    return F.round(
+        0.3 * length_term + 0.3 * sw_term + 0.2 * punct_term + 0.2 * wl_term, 6
+    )
+
+
+def lang_id(col) -> Column:
+    """Stopword-hit language ID over the lexicons; deterministic
+    tie-break by language code; 'und' when nothing hits."""
+    t = tokens(col)
+    scores = F.array(
+        *[
+            F.struct(
+                (-F.size(F.filter(t, lambda x: x.isin(*sw)))).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_min(scores)
+    return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 over the whitespace-normalized,
+    lowercased text (stable under reflow)."""
+    return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def shingle_fingerprint(col, k: int = 5) -> Column:
+    """Winnowing-style fingerprint: lexicographic min over md5 of
+    k-token shingles (SQL-portable rolling-hash analogue)."""
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(t, i + 1, k))),
+    )
+    # short docs: fingerprint the whole token string (guard: Spark
+    # sequence() descends when start > stop, so when() is required)
+    return F.when(F.size(t) >= k, F.array_min(grams)).otherwise(
+        F.md5(F.concat_ws(" ", t))
+    )

@@ -1,0 +1,294 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+The crawl side already dedups URLs (seen-set, F4/J4); these operators
+dedup *content* — the step a 100 TB Common-Crawl-style corpus needs
+before training. All are DataFrame-native: shingling/hashing stays in
+whole-stage codegen (``xxhash64``/``md5`` built-ins), candidate
+generation is hash-bucket blocking (shuffles on high-cardinality
+band/ngram keys, never on document ids), and only verified pairs leave
+the join. No per-row Python anywhere.
+
+Conventions: every function returns a DataFrame with deterministic,
+aliased columns so the DuckDB oracles in ``__spark_entry__`` can check
+them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: hash values and multipliers stay < 2^31 so the
+# permutation products stay < 2^62 (no int64 overflow under ANSI mode)
+_PRIME = 2147483647
+
+
+def _tokens(col):
+    """Lowercased whitespace tokens, empties dropped (SQL-portable)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: keep the smallest id per md5(text).
+
+    Returns (doc_id, content_hash, dup_count) for the kept representative.
+    """
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+def token_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ngram) distinct token n-grams — JVM-side via transform/
+    sequence over the token array (no UDF)."""
+    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("t"))
+    # NB: Spark sequence(0, -1) is a DESCENDING range, so short docs must
+    # be guarded with when(), not greatest()
+    grams_expr = F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - n),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(id_col, F.explode(grams_expr).alias("ngram"))
+    return grams.distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b), blocked on shared
+    ngrams: |A∩B| from a self-equi-join on ngram, |A|/|B| from per-doc
+    counts; pure relational, SQL-oracle-checkable.
+    """
+    grams = token_ngrams(docs, n, text_col, id_col)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = grams.select(F.col(id_col).alias("a"), "ngram")
+    b = grams.select(F.col(id_col).alias("b"), "ngram")
+    inter = (
+        a.join(b, "ngram")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation (odd multipliers)."""
+    params = []
+    for i in range(num_perm):
+        a = ((2 * i + 1) * 0x9E3779B1) % _PRIME
+        b = (i * 0x85EBCA77 + 0xC2B2AE3D) % _PRIME
+        params.append((a | 1, b))
+    return params
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures: shingle → xxhash64 → per-permutation min, all
+    as JVM aggregate expressions (num_perm ``min()`` columns in one
+    map-side-combinable groupBy). Returns (doc_id, sig array<long>)."""
+    grams = token_ngrams(docs, n, text_col, id_col)
+    h = grams.select(id_col, F.pmod(F.xxhash64("ngram"), F.lit(_PRIME)).alias("h"))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_PRIME))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
+    sigs = h.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+
+    band bucketing: signature split into ``bands`` rows of
+    ``num_perm/bands`` values; docs sharing any band bucket become
+    candidates (shuffle key = (band_idx, band_hash) — high cardinality,
+    skew-free); candidates verified with exact n-gram Jaccard so LSH
+    recall/precision never changes results, only cost."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, n, text_col, id_col)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.md5(
+                        F.concat_ws(",", F.slice("sig", bi * rows_per_band + 1, rows_per_band))
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bh")
+    a = banded.select(F.col(id_col).alias("a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bh")
+    cands = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # verify candidates with exact jaccard (correctness never depends on LSH)
+    grams = token_ngrams(docs, n, text_col, id_col)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col(id_col).alias("a"), "ngram")
+    gb = grams.select(F.col(id_col).alias("b"), "ngram")
+    inter = (
+        cands.join(ga, "a")
+        .join(gb, ["b", "ngram"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: token xxhash64, per-bit sign sums as 64
+    JVM aggregate expressions (map-side combine; no UDF).
+
+    Returns (doc_id, simhash long)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(63)  # bit 63 = sign bit; 63-bit simhash avoids overflow
+    ]
+    per_doc = toks.groupBy(id_col).agg(*bit_aggs)
+    expr = None
+    for b in range(63):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        expr = term if expr is None else expr + term
+    return per_doc.select(F.col(id_col), expr.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
+    hamming distance ≤3 must share at least one chunk), verify hamming
+    distance exactly via bit_count(xor)."""
+    sh = simhash(docs, text_col, id_col)
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.cv")
+    a = chunked.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "chunk", "cv")
+    b = chunked.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "chunk", "cv")
+    cands = (
+        a.join(b, ["chunk", "cv"]).filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_cosine_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ threshold, blocked by a
+    random-hyperplane (SimHash-for-vectors) LSH sketch: ``bucket_bits``
+    sign bits from deterministic pseudo-random hyperplanes; candidates
+    must share the full sketch (high cosine ⇒ likely same sketch), then
+    exact cosine verification via zip_with/aggregate (JVM-side)."""
+    dims = 64  # embeddings table is FLOAT[64]
+    # deterministic hyperplanes: component h(b,d) in [-1,1)
+    planes = [
+        F.array(
+            *[
+                (F.lit(((0x9E3779B1 * (b * dims + d + 1)) % 1000003) / 500001.5) - 1.0)
+                for d in range(dims)
+            ]
+        )
+        for b in range(bucket_bits)
+    ]
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sketch = None
+    for b, p in enumerate(planes):
+        bit = F.when(dot(F.col(vec_col), p) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sketch = bit if sketch is None else sketch + bit
+    e = emb.select(F.col(id_col), F.col(vec_col), sketch.alias("sk"))
+    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "sk")
+    b2 = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "sk")
+    cands = a.join(b2, "sk").filter(F.col("a") < F.col("b"))
+    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
+    return (
+        cands.withColumn("cosine", F.round(dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,134 @@
+"""Vectorized page extraction — one ``mapInPandas`` pass per fetched batch.
+
+SURVEY §2.9: the reference re-matches CSS selectors once per registered
+callback; here each page's html crosses the Arrow boundary once and is
+parsed once, with ALL extractors (E1, E3-E10, F9) running over the
+single DOM. Output is fully columnar: links array, meta struct fields,
+canonical text, captcha flag, nested item struct.
+
+The heavy ``html`` binary column is touched ONLY here — frontier
+bookkeeping never reads it, so parquet/Iceberg column pruning keeps
+every other stage cheap (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..extract import extract_page
+from ..profiles import PROFILES, SiteProfile, synthetic_profile
+
+REVIEW_TYPE = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("content", StringType()),
+        StructField("author", StringType()),
+        StructField("stars", DoubleType()),
+        StructField("date", TimestampType()),
+    ]
+)
+
+ITEM_TYPE = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("name", StringType()),
+        StructField("brand", StringType()),
+        StructField("description", StringType()),
+        StructField("price_cents", LongType()),
+        StructField("rating", DoubleType()),
+        StructField("reviews", ArrayType(REVIEW_TYPE)),
+        StructField("source_store", StringType()),
+        StructField("url", StringType()),
+        StructField("details", MapType(StringType(), StringType())),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("url_hash", StringType()),
+        StructField("host", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("priority", IntegerType()),
+        StructField("fetch_rank", IntegerType()),
+        StructField("links", ArrayType(StringType())),
+        StructField("text", StringType()),
+        StructField("og_image", StringType()),
+        StructField("twitter_image", StringType()),
+        StructField("keywords", StringType()),
+        StructField("description", StringType()),
+        StructField("is_captcha", BooleanType()),
+        StructField("item", ITEM_TYPE),
+    ]
+)
+
+
+def _profile_spec(profile: SiteProfile):
+    """Serializable profile reference for executor-side reconstruction."""
+    if profile.name in PROFILES:
+        return ("named", profile.name)
+    return ("synthetic", tuple(profile.allowed_domains))
+
+
+def _resolve_profile(spec) -> SiteProfile:
+    kind, arg = spec
+    if kind == "named":
+        return PROFILES[arg]
+    return synthetic_profile(arg)
+
+
+def extract_fetched(fetched: DataFrame, profile: SiteProfile) -> DataFrame:
+    """fetched(url, url_hash, host, depth, priority, fetch_rank, html) ->
+    EXTRACT_SCHEMA rows. html=null rows must be filtered out by the
+    caller (they are the OnError path)."""
+    spec = _profile_spec(profile)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prof = _resolve_profile(spec)
+        for pdf in batches:
+            rows = []
+            for url, uh, host, depth, prio, rank, html in zip(
+                pdf["url"], pdf["url_hash"], pdf["host"], pdf["depth"],
+                pdf["priority"], pdf["fetch_rank"], pdf["html"],
+            ):
+                ex = extract_page(url, bytes(html), prof)
+                item = ex["item"]
+                if item is not None:
+                    item = dict(item)
+                    item["reviews"] = [
+                        (r["title"], r["content"], r["author"], r["stars"], r["date"])
+                        for r in item["reviews"]
+                    ]
+                    item = (
+                        item["id"], item["name"], item["brand"], item["description"],
+                        item["price_cents"], item["rating"], item["reviews"],
+                        item["source_store"], item["url"], item["details"],
+                    )
+                rows.append(
+                    (
+                        url, uh, host, depth, prio, rank,
+                        ex["links"], ex["text"], ex["og_image"], ex["twitter_image"],
+                        ex["keywords"], ex["description"], ex["is_captcha"], item,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXTRACT_SCHEMA.fields]
+            )
+
+    cols = ["url", "url_hash", "host", "depth", "priority", "fetch_rank", "html"]
+    return fetched.select(*cols).mapInPandas(run, EXTRACT_SCHEMA)

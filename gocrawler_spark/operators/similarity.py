@@ -1,0 +1,134 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k (exact; the correctness oracle).
+Scale path: IVF — deterministic centroids, vectors assigned to their
+nearest centroid with a vectorized numpy pandas UDF, queries probe only
+``nprobe`` nearest centroid cells. At 100 TB the cell assignment is a
+one-off bucketed write and each query touches a tiny partition-pruned
+slice; brute force stays as the quality yardstick.
+
+Cosine math runs JVM-side (zip_with/aggregate) for the oracle-checked
+baseline, and in numpy (Arrow-vectorized) for the IVF path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+
+def _dot(u, v):
+    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def _norm(v):
+    return F.sqrt(_dot(v, v))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (q_id, query array).
+
+    Cross join (queries side broadcast — the query set is small by
+    definition), JVM-side cosine, window top-k. Ties broken by vec_id
+    for determinism. Returns (q_id, vec_id, rank, cosine)."""
+    q = queries.select(F.col(q_id_col), F.col(vec_col).alias("_qv"))
+    c = emb.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        q_id_col,
+        id_col,
+        F.round(_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv"))), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank", "cosine")
+    )
+
+
+def deterministic_centroids(emb: DataFrame, n_centroids: int, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Deterministic centroid pick: the n vectors with smallest
+    md5(vec_id) — reproducible without RNG, spread uniformly."""
+    ranked = emb.select(
+        F.col(id_col), F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("_r")
+    ).orderBy("_r").limit(n_centroids)
+    w = Window.orderBy("_r")
+    return ranked.withColumn("centroid_id", F.row_number().over(w) - 1).select(
+        "centroid_id", F.col(vec_col).alias("centroid")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine) with one
+    vectorized numpy matmul per Arrow batch. Centroids are broadcast.
+    Returns emb + centroid_id — at scale this is written bucketed by
+    centroid_id (partition pruning = the ANN index)."""
+    spark = emb.sparkSession
+    cents = centroids.orderBy("centroid_id").collect()
+    C = np.array([row["centroid"] for row in cents], dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(C)
+
+    @pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ bc.value.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return emb.withColumn("centroid_id", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    emb_assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF ANN: each query probes its ``nprobe`` nearest centroid cells,
+    exact cosine within the probed cells, window top-k. Join keys are
+    centroid_id (bounded cardinality, even cells) — never a cross join
+    against the full corpus."""
+    q = queries.select(F.col(q_id_col), F.col(vec_col).alias("_qv"))
+    cents = centroids.select("centroid_id", F.col("centroid").alias("_cv"))
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        q_id_col,
+        "_qv",
+        "centroid_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias("_csim"),
+    )
+    wq = Window.partitionBy(q_id_col).orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+    probes = qc.withColumn("_pr", F.row_number().over(wq)).filter(F.col("_pr") <= nprobe)
+
+    cell = emb_assigned.select(F.col(id_col), F.col(vec_col).alias("_ev"), "centroid_id")
+    scored = cell.join(F.broadcast(probes.select(q_id_col, "_qv", "centroid_id")), "centroid_id").select(
+        q_id_col,
+        id_col,
+        F.round(_dot(F.col("_qv"), F.col("_ev")) / (_norm(F.col("_qv")) * _norm(F.col("_ev"))), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank", "cosine")
+    )

@@ -1,0 +1,186 @@
+"""Snapshot table catalog — Iceberg semantics over plain parquet.
+
+The design target is Iceberg (`frontier`/`seen` bucket-partitioned on
+url_hash, MERGE INTO per round, snapshot time-travel for resume — see
+SURVEY.md §1.4/§4). This sandbox has no Iceberg runtime jar and no
+network, so this module provides the same *semantics* on parquet:
+
+* every write is a new immutable **snapshot** (monotonic id) listing the
+  parquet directories it is composed of (appends reuse parent dirs —
+  O(delta) I/O, like Iceberg manifests);
+* a ``CURRENT`` pointer file updated by atomic ``os.replace`` gives
+  atomic visibility per table;
+* cross-table atomicity for a crawl round comes from the ``checkpoints``
+  row recording the (table -> snapshot_id) vector the round committed —
+  resume reads that vector and time-travels each table to it, so a crash
+  between table commits can never publish a torn round;
+* ``bucket_of`` hash-buckets rows on url_hash so heavy tables are
+  written ``partitionBy(bucket)`` — bucket-pruned reads and co-located
+  merges, standing in for Iceberg ``bucket(N, url_hash)``.
+
+On a real cluster, swap ``SnapshotCatalog`` for an Iceberg catalog: the
+call sites use only read / append / overwrite / merge-style operations
+that map 1:1 onto Iceberg SQL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "bucket"
+
+
+def bucket_of(col, n_buckets: int):
+    """Deterministic bucket from a (string) hash column."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotCatalog:
+    """Directory-backed snapshot tables with atomic pointer commits."""
+
+    def __init__(self, base_dir: str, spark: SparkSession):
+        self.base = base_dir
+        self.spark = spark
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.base, table)
+
+    def _meta(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_meta")
+
+    def _current_path(self, table: str) -> str:
+        return os.path.join(self._meta(table), "CURRENT")
+
+    # -- snapshot bookkeeping ----------------------------------------------
+    def current_snapshot(self, table: str) -> int | None:
+        p = self._current_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _manifest(self, table: str, snap: int) -> dict:
+        with open(os.path.join(self._meta(table), f"v{snap}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, dirs: list[str], op: str, schema_json: str | None = None) -> int:
+        meta = self._meta(table)
+        os.makedirs(meta, exist_ok=True)
+        snap = (self.current_snapshot(table) or 0) + 1
+        if schema_json is None and snap > 1:
+            schema_json = self._manifest(table, snap - 1).get("schema")
+        manifest = {"snapshot_id": snap, "dirs": dirs, "op": op, "schema": schema_json}
+        mpath = os.path.join(meta, f"v{snap}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        cur_tmp = self._current_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(cur_tmp, "w") as f:
+            f.write(str(snap))
+        os.replace(cur_tmp, self._current_path(table))
+        return snap
+
+    def _write_data(self, table: str, df: DataFrame, partition_by=None) -> str:
+        dest = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(dest)
+        return dest
+
+    # -- public ops ----------------------------------------------------------
+    def exists(self, table: str) -> bool:
+        return self.current_snapshot(table) is not None
+
+    @staticmethod
+    def _has_parquet(d: str) -> bool:
+        for root, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def overwrite(self, table: str, df: DataFrame, partition_by=None) -> int:
+        d = self._write_data(table, df, partition_by)
+        dirs = [d] if self._has_parquet(d) else []
+        return self._commit(table, dirs, "overwrite", schema_json=df.schema.json())
+
+    def append(self, table: str, df: DataFrame, partition_by=None) -> int:
+        d = self._write_data(table, df, partition_by)
+        cur = self.current_snapshot(table)
+        prev = self._manifest(table, cur)["dirs"] if cur else []
+        dirs = prev + ([d] if self._has_parquet(d) else [])
+        return self._commit(table, dirs, "append", schema_json=df.schema.json())
+
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        snap = snapshot_id if snapshot_id is not None else self.current_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"table {table} has no snapshot")
+        man = self._manifest(table, snap)
+        dirs = man["dirs"]
+        if not dirs:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(man["schema"]))
+            return self.spark.createDataFrame([], schema)
+        if len(dirs) == 1:
+            return self.spark.read.parquet(dirs[0])
+        # separate snapshot roots may each be hive-partitioned (bucket=N);
+        # read per-root and union (basePath differs per root)
+        dfs = [self.spark.read.parquet(d) for d in dirs]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read_or_empty(self, table: str, schema) -> DataFrame:
+        if self.exists(table):
+            return self.read(table)
+        return self.spark.createDataFrame([], schema)
+
+    def merge_upsert(
+        self,
+        table: str,
+        updates: DataFrame,
+        key: str,
+        when_matched=None,
+        partition_by=None,
+    ) -> int:
+        """MERGE INTO <table> USING updates ON key.
+
+        Default matched behavior: take the update row (HMSET overwrite).
+        ``when_matched(old_df, new_df) -> DataFrame`` customizes the
+        matched branch (e.g. HSETNX first-wins detail maps, RPUSH review
+        append — SURVEY §1.2). On Iceberg this is one MERGE INTO
+        statement; here: matched-rewrite + union of unmatched.
+        """
+        if not self.exists(table):
+            return self.overwrite(table, updates, partition_by)
+        old = self.read(table)
+        upd_keys = updates.select(key).distinct()
+        untouched = old.join(upd_keys, key, "left_anti")
+        if when_matched is None:
+            merged = updates
+        else:
+            matched_old = old.join(upd_keys, key, "left_semi")
+            merged = when_matched(matched_old, updates)
+        out = untouched.unionByName(merged)
+        return self.overwrite(table, out, partition_by)
+
+    def rollback(self, table: str, snapshot_id: int) -> int:
+        """Re-publish an old snapshot as current (Iceberg rollback_to_snapshot).
+        Used by resume to restore the table vector recorded in the last
+        complete checkpoint row."""
+        man = self._manifest(table, snapshot_id)
+        return self._commit(table, man["dirs"], f"rollback:{snapshot_id}")
+
+    def drop(self, table: str):
+        shutil.rmtree(self._tdir(table), ignore_errors=True)

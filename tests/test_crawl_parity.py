@@ -1,0 +1,142 @@
+"""Crawl-loop parity: the Spark round job must reproduce the golden
+single-threaded simulator exactly — seen set, fetch order, items store,
+fetch_log, final frontier (SURVEY §5.3, north rule)."""
+
+import pytest
+
+from gocrawler_spark.datagen import crawl_corpus
+from gocrawler_spark.plans.crawl import CrawlConfig, CrawlJob
+from gocrawler_spark.sim.simulator import SimConfig, SimResult, simulate
+from gocrawler_spark.tables.catalog import SnapshotCatalog
+
+from .conftest import pages_df, robots_df, seeds_df
+
+N_PAGES, N_HOSTS, CREDIT = 240, 8, 6
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages, seeds, robots, hosts, profile = crawl_corpus(N_PAGES, N_HOSTS)
+    # drop some product pages to exercise the OnError path (keep seeds)
+    seed_urls = {s["url"] for s in seeds}
+    kept = [p for i, p in enumerate(pages) if i % 17 != 0 or p["url"] in seed_urls]
+    return kept, seeds, robots, profile
+
+
+@pytest.fixture(scope="module")
+def golden(corpus) -> SimResult:
+    kept, seeds, robots, profile = corpus
+    return simulate(
+        {p["url"]: p["html"] for p in kept},
+        seeds,
+        robots,
+        profile,
+        SimConfig(credit_per_host=CREDIT, max_rounds=60),
+    )
+
+
+def run_spark_crawl(spark, tmpdir, corpus, bloom_min_seen=10**9, max_rounds=60):
+    kept, seeds, robots, profile = corpus
+    cat = SnapshotCatalog(str(tmpdir), spark)
+    job = CrawlJob(
+        spark,
+        cat,
+        profile,
+        CrawlConfig(
+            credit_per_host=CREDIT,
+            max_rounds=max_rounds,
+            salt_parts=4,
+            n_buckets=8,
+            bloom_min_seen=bloom_min_seen,
+            bloom_bits=1 << 18,
+        ),
+    )
+    pages = pages_df(spark, kept)
+    job.init_run(seeds_df(spark, seeds), robots_df(spark, robots))
+    history = job.run(pages)
+    return cat, job, history
+
+
+def _spark_state(cat):
+    seen = {r["url"] for r in cat.read("seen").collect()}
+    log = sorted(
+        (r["round"], r["seq"], r["url"], r["callback"]) for r in cat.read("fetch_log").collect()
+    )
+    items = {}
+    for r in cat.read("items").collect():
+        items[r["id"]] = (
+            r["name"], r["brand"], r["description"], r["price_cents"],
+            r["rating"],
+            tuple((v["title"], v["content"], v["author"], v["stars"]) for v in r["reviews"]),
+            r["source_store"], r["url"], dict(r["details"]),
+        )
+    frontier = {r["url"] for r in cat.read("frontier").collect()}
+    return seen, log, items, frontier
+
+
+def _golden_state(g: SimResult):
+    seen = set(g.seen.keys())
+    log = sorted(
+        (r["round"], r["seq"], r["url"], r["callback"]) for r in g.fetch_log
+    )
+    items = {}
+    for iid, it in g.items.items():
+        items[iid] = (
+            it["name"], it["brand"], it["description"], it["price_cents"],
+            it["rating"],
+            tuple((v["title"], v["content"], v["author"], v["stars"]) for v in it["reviews"]),
+            it["source_store"], it["url"], dict(it["details"]),
+        )
+    frontier = {r["url"] for r in g.frontier}
+    return seen, log, items, frontier
+
+
+def test_crawl_matches_golden_exact_antijoin(spark, tmp_path, corpus, golden):
+    cat, job, history = run_spark_crawl(spark, tmp_path / "exact", corpus)
+    s_seen, s_log, s_items, s_frontier = _spark_state(cat)
+    g_seen, g_log, g_items, g_frontier = _golden_state(golden)
+    assert s_seen == g_seen
+    assert s_frontier == g_frontier == set()  # crawl drains
+    assert s_log == g_log  # fetch order parity (round, seq, url, callback)
+    assert s_items.keys() == g_items.keys()
+    for iid in g_items:
+        assert s_items[iid] == g_items[iid], iid
+    assert golden.rounds == len(history)
+
+
+def test_crawl_matches_golden_with_bloom(spark, tmp_path, corpus, golden):
+    # bloom prefilter path must be result-identical (bloom = perf only)
+    cat, job, history = run_spark_crawl(spark, tmp_path / "bloom", corpus, bloom_min_seen=0)
+    s_seen, s_log, _, s_frontier = _spark_state(cat)
+    g_seen, g_log, _, g_frontier = _golden_state(golden)
+    assert s_seen == g_seen
+    assert s_log == g_log
+    assert s_frontier == g_frontier == set()
+
+
+def test_resume_from_checkpoint(spark, tmp_path, corpus, golden):
+    kept, seeds, robots, profile = corpus
+    cfg = dict(credit_per_host=CREDIT, salt_parts=4, n_buckets=8, bloom_bits=1 << 18)
+    cat = SnapshotCatalog(str(tmp_path / "resume"), spark)
+    pages = pages_df(spark, kept)
+
+    job1 = CrawlJob(spark, cat, profile, CrawlConfig(max_rounds=3, **cfg))
+    job1.init_run(seeds_df(spark, seeds), robots_df(spark, robots))
+    job1.run(pages)
+
+    # simulate a crash mid-round-4: frontier got clobbered after the last
+    # complete checkpoint — resume must roll back to the round-3 vector
+    import pyspark.sql.functions as F
+
+    garbage = cat.read("frontier").limit(1).withColumn("url", F.lit("x"))
+    cat.overwrite("frontier", garbage)
+
+    job2 = CrawlJob(spark, cat, profile, CrawlConfig(max_rounds=60, **cfg))
+    job2.resume(pages, robots_df(spark, robots))
+
+    s_seen, s_log, s_items, s_frontier = _spark_state(cat)
+    g_seen, g_log, g_items, g_frontier = _golden_state(golden)
+    assert s_seen == g_seen
+    assert s_log == g_log
+    assert s_items == g_items
+    assert s_frontier == g_frontier == set()

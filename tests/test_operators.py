@@ -1,0 +1,112 @@
+"""Unit tests for the frontier-side operators: bloom, politeness,
+robots, snapshot catalog."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gocrawler_spark.operators.bloom import Bloom, bloom_prefilter, build_bloom
+from gocrawler_spark.operators.politeness import select_fetch_set
+from gocrawler_spark.operators.robots import robots_filter
+from gocrawler_spark.tables.catalog import SnapshotCatalog
+
+from .conftest import robots_df
+
+
+def test_bloom_no_false_negatives(spark):
+    urls = [(f"https://h{i % 7}.example/p{i}",) for i in range(5000)]
+    df = spark.createDataFrame(urls, "url string").repartition(6)
+    bloom = build_bloom(df, "url", n_bits=1 << 16, n_hashes=4)
+    # every inserted key must be reported possibly-seen (no false negatives)
+    flagged = bloom_prefilter(df, "url", bloom)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+    # unseen keys: most must be definite-negatives (fpp sanity)
+    other = spark.createDataFrame(
+        [(f"https://new{i}.example/x{i}",) for i in range(2000)], "url string"
+    )
+    fp = bloom_prefilter(other, "url", bloom).filter(F.col("maybe_seen")).count()
+    assert fp / 2000 < 0.2
+
+
+def test_bloom_union_equivalence():
+    import numpy as np
+
+    a = Bloom(1 << 12, 3)
+    b = Bloom(1 << 12, 3)
+    h = np.arange(100, dtype=np.uint64) * np.uint64(2654435761)
+    g = h + np.uint64(17)
+    a.add_hashes(h[:50], g[:50])
+    b.add_hashes(h[50:], g[50:])
+    u = a.union(b)
+    assert u.contains_hashes(h, g).all()
+
+
+def test_politeness_salted_equals_unsalted(spark):
+    rows = [
+        (f"https://host{i % 3}.example/p{j:03d}", f"host{i % 3}.example", j % 2)
+        for i in range(3)
+        for j in range(40)
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, priority int")
+    for credit in (1, 4, 10):
+        salted = select_fetch_set(df, credit, salt_parts=8)
+        plain = select_fetch_set(df, credit, salt_parts=1)
+        s = sorted(r["url"] for r in salted.filter("is_selected").collect())
+        p = sorted(r["url"] for r in plain.filter("is_selected").collect())
+        assert s == p
+        # exactly credit per host (each host has >credit candidates)
+        per_host = (
+            salted.filter("is_selected").groupBy("host").count().collect()
+        )
+        assert all(r["count"] == credit for r in per_host)
+
+
+def test_robots_longest_prefix(spark):
+    robots = robots_df(
+        spark,
+        [
+            {"host": "a.example", "agent": "*", "rule": "disallow", "path_prefix": "/", "crawl_delay_ms": 0},
+            {"host": "a.example", "agent": "*", "rule": "allow", "path_prefix": "/public", "crawl_delay_ms": 0},
+            {"host": "b.example", "agent": "*", "rule": "disallow", "path_prefix": "/private", "crawl_delay_ms": 0},
+        ],
+    )
+    cands = spark.createDataFrame(
+        [
+            ("https://a.example/secret/x", "a.example", "/secret/x"),
+            ("https://a.example/public/x", "a.example", "/public/x"),
+            ("https://b.example/ok", "b.example", "/ok"),
+            ("https://b.example/private/x", "b.example", "/private/x"),
+            ("https://c.example/anything", "c.example", "/anything"),
+        ],
+        "url string, host string, path string",
+    )
+    kept = {r["url"] for r in robots_filter(cands, robots).collect()}
+    assert kept == {
+        "https://a.example/public/x",
+        "https://b.example/ok",
+        "https://c.example/anything",
+    }
+
+
+def test_catalog_snapshots_and_rollback(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    s1 = cat.overwrite("t", df1)
+    df2 = spark.createDataFrame([(3, "c")], "id int, v string")
+    s2 = cat.append("t", df2)
+    assert cat.read("t").count() == 3
+    assert cat.read("t", snapshot_id=s1).count() == 2  # time travel
+    cat.rollback("t", s1)
+    assert cat.read("t").count() == 2
+    # empty write handling
+    empty = spark.createDataFrame([], "id int, v string")
+    cat.overwrite("t", empty)
+    assert cat.read("t").count() == 0
+    assert cat.read("t").columns == ["id", "v"]
+
+
+def test_catalog_merge_upsert(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    cat.overwrite("t", spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    cat.merge_upsert("t", spark.createDataFrame([(2, "B"), (3, "C")], "id int, v string"), "id")
+    rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert rows == {1: "a", 2: "B", 3: "C"}

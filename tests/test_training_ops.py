@@ -1,0 +1,204 @@
+"""Training-data operators: dedup family, ANN, text functions,
+multimodal plumbing, sentiment stub."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (3, "el gato que salta por la ventana es un gato", "es"),
+        (4, "completely different words here about spark engines", "en"),
+        (5, "short", "en"),
+        (6, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    from gocrawler_spark.operators.dedup import exact_dedup
+
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 2 collapse, representative = min id
+    assert 2 not in out
+    assert out[1] == 1
+
+
+def test_ngram_jaccard(spark, docs):
+    from gocrawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_agrees_with_exact(spark, docs):
+    from gocrawler_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    lsh = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # verification step makes LSH precision exact; recall on trivial dups
+    assert lsh <= exact
+    assert (0, 2) in lsh  # identical docs always share all bands
+
+
+def test_simhash_near_pairs(spark, docs):
+    from gocrawler_spark.operators.dedup import simhash, simhash_near_pairs
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[2]  # identical text -> identical simhash
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, 10).collect()}
+    assert pairs[(0, 2)] == 0
+
+
+def test_embedding_ann(spark):
+    import numpy as np
+
+    from gocrawler_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        deterministic_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 64)
+    rows = [(i, (base[i] / np.linalg.norm(base[i])).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 3").select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.filter("vec_id >= 3")
+
+    bf = cosine_topk_bruteforce(corpus, queries, k=3)
+    got = {(r["q_id"], r["rank"]): r["vec_id"] for r in bf.collect()}
+    assert len(got) == 9
+
+    cents = deterministic_centroids(corpus, 4)
+    assigned = ivf_assign(corpus, cents)
+    ivf = ivf_topk(assigned, cents, queries, k=3, nprobe=4)  # nprobe=all -> exact
+    ivf_got = {(r["q_id"], r["rank"]): r["vec_id"] for r in ivf.collect()}
+    assert ivf_got == got  # probing all cells must equal brute force
+
+
+def test_embedding_cosine_dups(spark):
+    import numpy as np
+
+    from gocrawler_spark.operators.dedup import embedding_cosine_dups
+
+    rng = np.random.RandomState(3)
+    v = rng.randn(64)
+    rows = [
+        (0, (v / np.linalg.norm(v)).tolist()),
+        (1, (v / np.linalg.norm(v)).tolist()),  # exact dup
+        (2, (rng.randn(64)).tolist()),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["a"], r["b"]): r["cosine"] for r in embedding_cosine_dups(emb, 0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+
+
+def test_text_functions(spark, docs):
+    from gocrawler_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    out = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("tc"),
+        lang_id(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[0]["tc"] == 9
+    assert rows[0]["lang"] == "en"
+    assert rows[3]["lang"] == "es"
+    assert rows[6]["lang"] == "und" and rows[6]["tc"] == 0
+    assert rows[0]["fp"] == rows[2]["fp"] != rows[1]["fp"]
+    assert 0.0 <= rows[6]["q"] < rows[0]["q"] <= 1.0
+
+
+def test_sentiment(spark):
+    from gocrawler_spark.operators.analyze import sentiment_label, sentiment_score
+
+    df = spark.createDataFrame(
+        [(1, "excelente maquina muy buena"), (2, "terrible producto roto"), (3, "caja con cable")],
+        "id int, content string",
+    )
+    out = {r["id"]: (r["s"], r["l"]) for r in df.select(
+        "id", sentiment_score(F.col("content")).alias("s"), sentiment_label(F.col("content")).alias("l")
+    ).collect()}
+    assert out[1][0] > 0 and out[1][1] == "POSITIVE"
+    assert out[2][0] < 0 and out[2][1] == "NEGATIVE"
+    assert out[3] == (0.0, "NEUTRAL")
+
+
+def test_analyze_items(spark):
+    from gocrawler_spark.operators.analyze import analyze_items
+
+    items = spark.createDataFrame(
+        [
+            ("i1", [("t", "excelente", "a", 5.0, None), ("t2", "roto", "b", 1.0, None)]),
+            ("i2", []),
+        ],
+        "id string, reviews array<struct<title:string,content:string,author:string,stars:double,date:timestamp>>",
+    )
+    out = {r["id"]: r for r in analyze_items(items).collect()}
+    assert "i2" not in out  # reviews-only gate (parser.go:36-40)
+    assert out["i1"]["comment_labels"] == {0: "POSITIVE", 1: "NEGATIVE"}
+    assert out["i1"]["n_reviews"] == 2
+
+
+def test_multimodal_plumbing(spark):
+    from gocrawler_spark.operators.multimodal import (
+        frame_sample,
+        image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    feats = image_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["embedding"]) == 16 for r in feats)
+    # determinism
+    feats2 = {r["media_id"]: r["phash"] for r in image_features(media).collect()}
+    assert all(feats2[k] == by_id[k]["phash"] for k in feats2)
+
+    frames = frame_sample(media.filter("mime = 'video/mp4'"), every_ms=2000).collect()
+    assert len(frames) > 10
+    assert all(r["frame_ts_ms"] == r["frame_idx"] * 2000 for r in frames)
+
+    with pytest.raises(NotImplementedError):
+        image_features(media, backend="pillow").collect()
+
+
+def test_streaming_frontier_ingest(spark, tmp_path):
+    from gocrawler_spark.datagen import crawl_corpus
+    from gocrawler_spark.streaming.microbatch import frontier_ingest_batch
+    from gocrawler_spark.tables.catalog import SnapshotCatalog
+
+    _, _, robots, hosts, profile = crawl_corpus(50, 8)
+    from .conftest import robots_df as mk_robots
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    rdf = mk_robots(spark, robots)
+    batch1 = spark.createDataFrame(
+        [(f"https://{hosts[0]}/Mixup/Home.aspx", 0),
+         (f"https://{hosts[1]}/Mixup/Categoria.aspx?etq=rock", 0),
+         ("https://evil.example/Mixup/Home.aspx", 0)],
+        "url string, depth int",
+    )
+    frontier_ingest_batch(batch1, 0, cat, profile, rdf)
+    assert cat.read("frontier").count() == 2  # evil host rejected
+    # replay same batch -> seen dedup, no growth
+    frontier_ingest_batch(batch1, 1, cat, profile, rdf)
+    assert cat.read("frontier").count() == 2
+    assert cat.read("seen").count() == 2
