@@ -99,7 +99,10 @@ def bench_schedule_dedupe(spark):
     c = normalize_candidates(cand)
     c = admission_filter(c, profile)
     c = robots_filter(c, robots)
-    bloom = build_bloom(seen, "url_hash", 1 << 26, 5)
+    from gocrawler_spark.operators.bloom import Bloom
+
+    sized = Bloom.sized_for(N_FRONTIER // 2, 0.01)
+    bloom = build_bloom(seen, "url_hash", sized.n_bits, sized.n_hashes)
     c = bloom_prefilter(c, "url_hash", bloom)
     definite = c.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = c.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -126,8 +129,12 @@ def bench_crawl_round(spark):
     n_pages = pages.count()
     cat = SnapshotCatalog(tempfile.mkdtemp(prefix="gocrawler_bench_"), spark)
     job = CrawlJob(spark, cat, profile,
-                   CrawlConfig(credit_per_host=64, max_rounds=3, salt_parts=8, n_buckets=16))
-    seeds_df = spark.createDataFrame([(s["url"], s["priority"]) for s in seeds], "url string, priority int")
+                   CrawlConfig(credit_per_host=128, max_rounds=3, salt_parts=8, n_buckets=16))
+    # seed every host's home page so all 16 politeness lanes are busy
+    seeds_df = spark.createDataFrame(
+        [(f"https://{h}/Mixup/Home.aspx", 0) for h in profile.allowed_domains],
+        "url string, priority int",
+    )
     robots_df = spark.createDataFrame(
         [(r["host"], r["agent"], r["rule"], r["path_prefix"], r["crawl_delay_ms"]) for r in robots],
         "host string, agent string, rule string, path_prefix string, crawl_delay_ms long")

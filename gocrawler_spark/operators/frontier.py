@@ -5,13 +5,15 @@ scraper.go:80), URLFilters regex (F2, scraper.go:84-86), visited set
 (F4) and robots (F5) — colly requestCheck order [colly v1.2.0]. Depth
 (F6) exists but is commented out (scraper.go:81).
 
-Dialect note: the Go admission regexes are RE2; Spark ``rlike`` is Java
-regex, and Java parses ``[...[...]...]`` character classes as *unions*
-(a literal ``[`` inside a class means something different than in RE2).
-The amazon pattern hits exactly that construct, so parity-critical
-regex evaluation happens in a **vectorized pandas UDF running Python
-``re``** (RE2-compatible for these patterns) — per input_hint all
-per-row logic is pandas/Arrow vectorized, never JVM-dialect rlike.
+Regex dialects: Go admission regexes are RE2; Spark ``rlike`` is Java.
+Java parses ``[...[...]...]`` character classes as class *unions* while
+RE2 treats the inner ``[`` as a literal — the amazon pattern hits
+exactly that construct, so amazon admission runs as a vectorized pandas
+UDF with Python ``re`` (RE2-equivalent for these patterns). Profiles
+whose patterns mean the same thing in both dialects set
+``java_safe=True`` and keep F2 JVM-side inside whole-stage codegen — the
+scheduling hot path at 10^10-URL scale. Tests pin both dialects against
+the same URL lists so they cannot drift silently.
 """
 
 from __future__ import annotations
@@ -38,19 +40,27 @@ def normalize_candidates(df: DataFrame) -> DataFrame:
     )
 
 
+def _regex_match_col(df_col, pattern: str, java_safe: bool):
+    """Regex search column: JVM rlike when dialect-safe, else a
+    vectorized pandas UDF (pandas .str.contains → compiled C loop)."""
+    if java_safe:
+        return df_col.rlike(pattern)
+
+    @pandas_udf("boolean")
+    def matches(urls: pd.Series) -> pd.Series:
+        return urls.str.contains(pattern, regex=True, na=False)
+
+    return matches(df_col)
+
+
 def admission_filter(
     df: DataFrame, profile: SiteProfile, max_depth: int | None = None
 ) -> DataFrame:
-    """F1 (domain allowlist) + F2 (URL regex, Go-dialect) + F6 (depth)."""
-    pattern = profile.link_extraction_query
+    """F1 (domain allowlist) + F2 (URL regex) + F6 (depth)."""
     allowed = [d for d in profile.allowed_domains if "//" not in d]
-
-    @pandas_udf("boolean")
-    def url_admitted(urls: pd.Series) -> pd.Series:
-        rx = re.compile(pattern)
-        return urls.map(lambda u: bool(rx.search(u)) if u else False)
-
-    out = df.filter(F.col("host").isin(allowed)).filter(url_admitted(F.col("url")))
+    out = df.filter(F.col("host").isin(allowed)).filter(
+        _regex_match_col(F.col("url"), profile.link_extraction_query, profile.java_safe)
+    )
     if max_depth is not None:
         out = out.filter(F.col("depth") <= max_depth)
     return out
@@ -58,25 +68,17 @@ def admission_filter(
 
 def is_product_url(df: DataFrame, profile: SiteProfile) -> DataFrame:
     """F3 — product-page classifier column (mixup.go:29, amazon.go:46)."""
-    pattern = profile.link_product_query
-
-    @pandas_udf("boolean")
-    def matches(urls: pd.Series) -> pd.Series:
-        rx = re.compile(pattern)
-        return urls.map(lambda u: bool(rx.search(u)) if u else False)
-
-    return df.withColumn("is_product", matches(F.col("url")))
+    return df.withColumn(
+        "is_product",
+        _regex_match_col(F.col("url"), profile.link_product_query, profile.java_safe),
+    )
 
 
 def response_revalidation(df: DataFrame, profile: SiteProfile) -> DataFrame:
     """F7 — post-fetch re-check (scraper.go:153-159): keep responses whose
     URL matches F2 OR contains '?sku='. Gates only the fetch_log
     (OnResponse tracking), not the HTML callbacks."""
-    pattern = profile.link_extraction_query
-
-    @pandas_udf("boolean")
-    def ok(urls: pd.Series) -> pd.Series:
-        rx = re.compile(pattern)
-        return urls.map(lambda u: bool(rx.search(u)) or "?sku=" in u)
-
-    return df.filter(ok(F.col("url")))
+    return df.filter(
+        _regex_match_col(F.col("url"), profile.link_extraction_query, profile.java_safe)
+        | F.col("url").contains("?sku=")
+    )

@@ -3,18 +3,19 @@
 The reference relies on colly's default robots handling
 (``IgnoreRobotsTxt=false`` via temoto/robotstxt, go.mod:21)
 [colly v1.2.0]. Here the per-host rules live in a small ``robots``
-table broadcast to every executor; matching follows the standard
-longest-prefix-wins rule (allow wins prefix-length ties), evaluated
-relationally so Catalyst keeps the whole check JVM-side:
+table; matching follows the standard longest-prefix-wins rule (allow
+wins prefix-length ties), with no rule ⇒ allowed.
 
-candidates ⋈ broadcast(rules) on host, prefix match via startswith,
-max-length rule per url via window, verdict = rule=='allow' (hosts with
-no matching rule are allowed).
+Plan shape: rules are pre-aggregated to one array per host and
+broadcast; the verdict is a pure JVM ``aggregate`` over that array
+(startswith + running longest-match fold). No shuffle, no UDF — the
+whole check stays inside whole-stage codegen, which matters because it
+runs on every candidate URL every round.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -22,23 +23,29 @@ def robots_filter(
     candidates: DataFrame, robots: DataFrame, url_col: str = "url",
     host_col: str = "host", path_col: str = "path",
 ) -> DataFrame:
-    """Return candidates allowed by robots rules (broadcast join)."""
-    rules = robots.select(
-        F.col("host").alias("_r_host"),
-        F.col("rule").alias("_r_rule"),
-        F.col("path_prefix").alias("_r_prefix"),
+    """Return candidates allowed by robots rules (broadcast join +
+    longest-prefix fold)."""
+    rules_by_host = robots.groupBy(F.col("host").alias("_r_host")).agg(
+        F.collect_list(
+            F.struct(F.col("path_prefix").alias("p"), (F.col("rule") == "allow").alias("a"))
+        ).alias("_rules")
     )
     joined = candidates.join(
-        F.broadcast(rules),
-        (F.col(host_col) == F.col("_r_host"))
-        & F.col(path_col).startswith(F.col("_r_prefix")),
-        "left",
+        F.broadcast(rules_by_host), F.col(host_col) == F.col("_r_host"), "left"
     )
-    w = Window.partitionBy(url_col).orderBy(
-        F.length("_r_prefix").desc(),
-        # tie on length: allow wins
-        F.when(F.col("_r_rule") == "allow", 0).otherwise(1),
+    # fold: track (best_len, allow); longer prefix wins, equal length ->
+    # allow wins; no matching rule -> allowed
+    verdict = F.aggregate(
+        F.coalesce(F.col("_rules"), F.array().cast("array<struct<p:string,a:boolean>>")),
+        F.struct(F.lit(-1).alias("len"), F.lit(True).alias("allow")),
+        lambda acc, r: F.when(
+            F.col(path_col).startswith(r["p"])
+            & (
+                (F.length(r["p"]) > acc["len"])
+                | ((F.length(r["p"]) == acc["len"]) & r["a"] & ~acc["allow"])
+            ),
+            F.struct(F.length(r["p"]).alias("len"), r["a"].alias("allow")),
+        ).otherwise(acc),
+        lambda acc: acc["allow"],
     )
-    best = joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-    allowed = best.filter((F.col("_r_rule").isNull()) | (F.col("_r_rule") == "allow"))
-    return allowed.drop("_r_host", "_r_rule", "_r_prefix", "_rn")
+    return joined.filter(verdict).drop("_r_host", "_rules")

@@ -79,8 +79,9 @@ class CrawlConfig:
     salt_parts: int = 16
     n_buckets: int = 32
     bloom_min_seen: int = 100_000  # below this the exact anti-join is enough
-    bloom_bits: int = 1 << 24
+    bloom_bits: int | None = None  # None -> sized from the live seen count
     bloom_hashes: int = 5
+    bloom_fpp: float = 0.01
 
 
 class CrawlJob:
@@ -188,7 +189,12 @@ class CrawlJob:
         # J4 seen anti-join (+ bloom prefilter when the seen set is large)
         seen = self.cat.read("seen")
         if self._seen_count >= cfg.bloom_min_seen:
-            bloom = build_bloom(seen, "url_hash", cfg.bloom_bits, cfg.bloom_hashes)
+            if cfg.bloom_bits is None:
+                sized = Bloom.sized_for(self._seen_count, cfg.bloom_fpp)
+                n_bits, n_hashes = sized.n_bits, sized.n_hashes
+            else:
+                n_bits, n_hashes = cfg.bloom_bits, cfg.bloom_hashes
+            bloom = build_bloom(seen, "url_hash", n_bits, n_hashes)
             adm = bloom_prefilter(adm, "url_hash", bloom)
             definite_new = adm.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = adm.filter(F.col("maybe_seen")).drop("maybe_seen")

@@ -24,6 +24,11 @@ class SiteProfile:
     link_selector: str  # CSS selector feeding frontier expansion (E1)
     keywords_value: str = "Keywords"
     description_value: str = "Description"
+    # True when the regexes mean the same thing in Java (Spark rlike) as
+    # in RE2/Python — admission then runs JVM-side in whole-stage codegen.
+    # False (amazon: nested-[ character classes differ) -> vectorized
+    # pandas UDF with Python re, which matches RE2 for these patterns.
+    java_safe: bool = False
 
     @property
     def link_re(self) -> re.Pattern:
@@ -47,6 +52,7 @@ MIXUP = SiteProfile(
         "mixup.com.mx",
     ),
     link_selector="a[href]",
+    java_safe=True,
 )
 
 # amazon.go:43-65 (regexes :45-46; allowedDomains :47-64; link selector :101)
@@ -82,21 +88,25 @@ def synthetic_profile(hosts: tuple[str, ...]) -> SiteProfile:
     detproducto?sku=...) so every reference filter/extractor is exercised,
     but across many hosts so politeness + skew are observable.
     """
-    host_alt = "|".join(re.escape(h) for h in hosts)
     return SiteProfile(
         name="synthetic",
         source_store="Mixup",
         domain_glob="*.example",
+        # host part is a wildcard: the F1 allowlist already constrains
+        # hosts exactly, so F1 AND F2 is unchanged — and the admission
+        # regex stays O(1) in the host count (an alternation of hundreds
+        # of hosts would dominate the scheduling hot path)
         link_extraction_query=(
-            r"(?m)https://(" + host_alt + r")/[Mm]ixup/"
+            r"(?m)https://([a-z0-9.-]+)/[Mm]ixup/"
             r"(([Hh]ome\.aspx)|((Categoria|Productos)\.aspx\?(etq\=))|(detproducto\.aspx\?sku=\d+)$)"
         ),
         link_product_query=(
-            r"(?m)(https://(?:" + host_alt + r")/[Mm]ixup/)"
+            r"(?m)(https://(?:[a-z0-9.-]+)/[Mm]ixup/)"
             r"(detproducto\.aspx\?sku=\d{12,})$"
         ),
         allowed_domains=hosts,
         link_selector="a[href]",
+        java_safe=True,
     )
 
 

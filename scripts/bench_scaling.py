@@ -1,0 +1,67 @@
+"""Scaling-efficiency evidence (north rule): same job, two parallelism
+levels — local[8] vs local[32] stand in for N vs 4N executors in this
+sandbox (driver instruction in BASELINE.md).
+
+Runs bench.py's schedule_dedupe headline in two subprocesses (fresh JVM
+each, identical deterministic input), reports throughput at both and
+eff = (thr_4N / thr_N) / 4. Writes BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_at(cpus: int, sf_dir: str, frontier_n: int | None) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BENCH_ONLY"] = "schedule_dedupe"
+    if frontier_n:
+        env["SPARK_GRAFT_FRONTIER_N"] = str(frontier_n)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    frontier_n = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "0")) or None
+    lo, hi = int(os.environ.get("SPARK_GRAFT_N", "8")), int(os.environ.get("SPARK_GRAFT_4N", "32"))
+    print(f"# running schedule_dedupe at local[{lo}] ...", file=sys.stderr)
+    r_lo = run_at(lo, sf_dir, frontier_n)
+    print(f"# local[{lo}]: {r_lo['throughput']['schedule_dedupe']}", file=sys.stderr)
+    print(f"# running schedule_dedupe at local[{hi}] ...", file=sys.stderr)
+    r_hi = run_at(hi, sf_dir, frontier_n)
+    print(f"# local[{hi}]: {r_hi['throughput']['schedule_dedupe']}", file=sys.stderr)
+    thr_lo = r_lo["throughput"]["schedule_dedupe"]["urls_per_sec"]
+    thr_hi = r_hi["throughput"]["schedule_dedupe"]["urls_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    out = {
+        "metric": "scaling_efficiency_N_to_4N",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "n_cores": lo,
+        "four_n_cores": hi,
+        "throughput_at_N": thr_lo,
+        "throughput_at_4N": thr_hi,
+        "urls_per_sec_per_core_at_N": round(thr_lo / lo, 1),
+        "urls_per_sec_per_core_at_4N": round(thr_hi / hi, 1),
+        "sf": r_lo["sf"],
+        "pass_ge_0_8": eff >= 0.8,
+    }
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,3 +110,30 @@ def test_catalog_merge_upsert(spark, tmp_path):
     cat.merge_upsert("t", spark.createDataFrame([(2, "B"), (3, "C")], "id int, v string"), "id")
     rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
     assert rows == {1: "a", 2: "B", 3: "C"}
+
+
+def test_rlike_matches_python_re_on_admission_patterns(spark):
+    """java_safe profiles evaluate F2 via Java rlike; pin Java == RE2/Python
+    on the admission patterns over corpus + adversarial URLs."""
+    from gocrawler_spark.datagen import crawl_corpus
+    from gocrawler_spark.profiles import MIXUP, synthetic_profile
+
+    pages, seeds, robots, hosts, sprof = crawl_corpus(150, 10)
+    urls = [p["url"] for p in pages] + [
+        "https://www.mixup.com.mx/Mixup/detproducto.aspx?sku=194397052312",
+        "https://www.mixup.com.mx/Mixup/Categoria.aspx?pg=2",
+        "https://shop000.example/Mixup/detproducto.aspx?sku=badsku",
+        "https://shop000.example/Mixup/Productos.aspx?etq=x&pg=9",
+        "https://shop000.example/other/page.html",
+        "https://evil.example/Mixup/Home.aspx",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    import pyspark.sql.functions as F
+
+    for prof in (MIXUP, sprof):
+        assert prof.java_safe
+        for pat in (prof.link_extraction_query, prof.link_product_query):
+            got = {r["url"]: r["m"] for r in df.withColumn("m", F.col("url").rlike(pat)).collect()}
+            rx = __import__("re").compile(pat)
+            for u in urls:
+                assert got[u] == bool(rx.search(u)), (pat, u)
