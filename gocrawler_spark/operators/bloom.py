@@ -32,12 +32,24 @@ _SEED2 = 0x9E3779B9
 
 
 class Bloom:
-    """Fixed-size bloom filter over uint64 words (numpy)."""
+    """Fixed-size bloom filter over uint64 words (numpy).
 
-    def __init__(self, n_bits: int, n_hashes: int, bits: np.ndarray | None = None):
+    ``n_shards > 1`` splits the bit space into contiguous per-shard
+    ranges addressed by ``h1 % n_shards`` — shard bitmaps can then be
+    built independently (one task each) and merged by *concatenation*,
+    so a distributed build moves exactly ``n_bits`` over the wire
+    instead of ``partitions × n_bits``. At 10^10-URL scale the shards
+    align with the url_hash bucket partitioning and executors load only
+    the shards for their buckets."""
+
+    def __init__(self, n_bits: int, n_hashes: int, bits: np.ndarray | None = None,
+                 n_shards: int = 1):
         assert n_bits % 64 == 0
         self.n_bits = n_bits
         self.n_hashes = n_hashes
+        self.n_shards = n_shards
+        assert (n_bits // n_shards) % 64 == 0, "shard bit-ranges must be word-aligned"
+        self.shard_bits = n_bits // n_shards
         self.bits = bits if bits is not None else np.zeros(n_bits // 64, dtype=np.uint64)
 
     @classmethod
@@ -48,9 +60,16 @@ class Bloom:
         k = max(1, round(m / n_items * math.log(2)))
         return cls(m, min(k, 8))
 
+    def _index(self, h1: np.ndarray, h2: np.ndarray, i: int) -> np.ndarray:
+        if self.n_shards == 1:
+            return (h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)
+        shard = h1 % np.uint64(self.n_shards)
+        within = (h1 // np.uint64(self.n_shards) + np.uint64(i) * h2) % np.uint64(self.shard_bits)
+        return shard * np.uint64(self.shard_bits) + within
+
     def add_hashes(self, h1: np.ndarray, h2: np.ndarray):
         for i in range(self.n_hashes):
-            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)
+            idx = self._index(h1, h2, i)
             np.bitwise_or.at(
                 self.bits, (idx >> np.uint64(6)).astype(np.int64),
                 np.uint64(1) << (idx & np.uint64(63)),
@@ -59,20 +78,21 @@ class Bloom:
     def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         out = np.ones(len(h1), dtype=bool)
         for i in range(self.n_hashes):
-            idx = (h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)
+            idx = self._index(h1, h2, i)
             word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
             out &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
         return out
 
     def union(self, other: "Bloom") -> "Bloom":
-        return Bloom(self.n_bits, self.n_hashes, np.bitwise_or(self.bits, other.bits))
+        return Bloom(self.n_bits, self.n_hashes,
+                     np.bitwise_or(self.bits, other.bits), self.n_shards)
 
     def to_bytes(self) -> bytes:
         return self.bits.tobytes()
 
     @classmethod
-    def from_bytes(cls, b: bytes, n_bits: int, n_hashes: int) -> "Bloom":
-        return cls(n_bits, n_hashes, np.frombuffer(b, dtype=np.uint64).copy())
+    def from_bytes(cls, b: bytes, n_bits: int, n_hashes: int, n_shards: int = 1) -> "Bloom":
+        return cls(n_bits, n_hashes, np.frombuffer(b, dtype=np.uint64).copy(), n_shards)
 
 
 def _hash_cols(df: DataFrame, url_col: str) -> DataFrame:
@@ -106,6 +126,57 @@ def build_bloom(df: DataFrame, url_col: str, n_bits: int, n_hashes: int) -> Bloo
     return parts.rdd.treeAggregate(zero, seq, Bloom.union, depth=2)
 
 
+def build_bloom_sharded(
+    df: DataFrame, url_col: str, n_bits: int, n_hashes: int, n_shards: int = 64
+) -> Bloom:
+    """Scale-path build: each shard's bit-range is built by exactly one
+    group task (groupBy ``h1 % n_shards`` + applyInPandas), and the
+    driver assembles the filter by concatenation — total network
+    transfer is ``n_bits`` regardless of parallelism, where the
+    per-partition treeAggregate merge moves ``partitions × n_bits``.
+    Per-shard bitmaps are what a 10^10-URL deployment stores alongside
+    the url_hash buckets (executors load only their shards)."""
+    # power-of-two shards: JVM pmod (signed) and numpy % (uint64 view)
+    # then both reduce to the same low bits of h1
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+    step = 64 * n_shards
+    n_bits = ((n_bits + step - 1) // step) * step
+    shard_bits = n_bits // n_shards
+    hashed = _hash_cols(df, url_col).withColumn(
+        "shard", F.pmod(F.col("h1"), F.lit(n_shards))
+    )
+
+    def build_shard(key, pdf):
+        import pandas as pd
+
+        s = int(key[0])
+        local = Bloom(shard_bits, n_hashes)
+        h1 = pdf["h1"].to_numpy().view(np.uint64)
+        h2 = pdf["h2"].to_numpy().view(np.uint64)
+        # same index math as Bloom._index, offset into the local shard
+        for i in range(n_hashes):
+            idx = (h1 // np.uint64(n_shards) + np.uint64(i) * h2) % np.uint64(shard_bits)
+            np.bitwise_or.at(
+                local.bits, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+        return pd.DataFrame({"shard": [s], "bits": [local.to_bytes()]})
+
+    rows = (
+        hashed.groupBy("shard")
+        .applyInPandas(build_shard, "shard int, bits binary")
+        .collect()
+    )
+    bloom = Bloom(n_bits, n_hashes, n_shards=n_shards)
+    words_per_shard = shard_bits // 64
+    for r in rows:
+        s = r["shard"]
+        bloom.bits[s * words_per_shard : (s + 1) * words_per_shard] = np.frombuffer(
+            bytes(r["bits"]), dtype=np.uint64
+        )
+    return bloom
+
+
 def bloom_prefilter(df: DataFrame, url_col: str, bloom: Bloom) -> DataFrame:
     """Keep rows NOT definitely-unseen filtered out — i.e. return rows the
     bloom says are *possibly seen* removed. Output = rows with
@@ -113,16 +184,23 @@ def bloom_prefilter(df: DataFrame, url_col: str, bloom: Bloom) -> DataFrame:
     flagged possibly-seen still go through the exact anti-join by the
     caller. This function returns df annotated with ``maybe_seen``."""
     spark = df.sparkSession
-    blob_bc = spark.sparkContext.broadcast((bloom.to_bytes(), bloom.n_bits, bloom.n_hashes))
+    blob_bc = spark.sparkContext.broadcast(
+        (bloom.to_bytes(), bloom.n_bits, bloom.n_hashes, bloom.n_shards)
+    )
 
     from pyspark.sql.pandas.functions import pandas_udf
+
+    _state: dict = {}  # per-task bloom singleton: from_bytes copies the
+    # bitmap, so doing it once per Arrow batch would memcpy GBs
 
     @pandas_udf("boolean")
     def maybe_seen(h1, h2):
         import pandas as pd
 
-        b, nb, nh = blob_bc.value
-        bl = Bloom.from_bytes(b, nb, nh)
+        bl = _state.get("bloom")
+        if bl is None:
+            b, nb, nh, ns = blob_bc.value
+            bl = _state["bloom"] = Bloom.from_bytes(b, nb, nh, ns)
         res = bl.contains_hashes(
             h1.to_numpy().view(np.uint64), h2.to_numpy().view(np.uint64)
         )

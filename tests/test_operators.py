@@ -137,3 +137,20 @@ def test_rlike_matches_python_re_on_admission_patterns(spark):
             rx = __import__("re").compile(pat)
             for u in urls:
                 assert got[u] == bool(rx.search(u)), (pat, u)
+
+
+def test_sharded_bloom_matches_unsharded(spark):
+    from gocrawler_spark.operators.bloom import bloom_prefilter, build_bloom_sharded
+
+    urls = [(f"https://h{i % 9}.example/q{i}",) for i in range(4000)]
+    df = spark.createDataFrame(urls, "url string").repartition(5)
+    bloom = build_bloom_sharded(df, "url", n_bits=1 << 16, n_hashes=4, n_shards=8)
+    flagged = bloom_prefilter(df, "url", bloom)
+    # no false negatives through the sharded index math
+    assert flagged.filter("not maybe_seen").count() == 0
+    other = spark.createDataFrame(
+        [(f"https://x{i}.example/n{i}",) for i in range(2000)], "url string"
+    )
+    import pyspark.sql.functions as F
+    fp = bloom_prefilter(other, "url", bloom).filter(F.col("maybe_seen")).count()
+    assert fp / 2000 < 0.2
