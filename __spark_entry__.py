@@ -638,6 +638,44 @@ def q37(spark, sf):
     return definite_new.unionByName(confirmed).select("doc_id")
 
 
+@_q(
+    "q38_point_get",
+    "SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_partkey IN (7, 42, 9999999)",
+)
+def q38(spark, sf):
+    # S4 — item point-get (HGETALL product:<id>, repository.go:95-159):
+    # nested row already assembled, a pk filter replaces the 3-way join
+    p = _t(spark, sf, "part")
+    return p.filter(F.col("p_partkey").isin(7, 42, 9999999)).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+@_q(
+    "q39_delete_antijoin",
+    "SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT unnest([1,2,3,5,8,13]))",
+)
+def q39(spark, sf):
+    # S6 — delete sink (DEL key..., repository.go:270-284) as DELETE WHERE
+    d = _t(spark, sf, "documents")
+    victims = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 8, 13)], "doc_id long")
+    return d.join(victims, "doc_id", "left_anti").select("doc_id")
+
+
+@_q(
+    "q40_json_ir",
+    "SELECT event_id, cast(json_extract(props, '$.k') AS int) AS k FROM events",
+)
+def q40(spark, sf):
+    # E17 — JSON inter-stage IR (item.go:284-312): in Spark columns flow
+    # between stages; for ingest parity from_json/get_json_object covers
+    # the marshal/unmarshal surface
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -118,6 +118,16 @@ def _product_html(host: str, i: int, links: list[str]) -> str:
 </body></html>"""
 
 
+def _captcha_html(host: str, links: list[str]) -> str:
+    anchors = "\n".join(f'  <a href="{u}">x</a>' for u in links)
+    return f"""<html><body>
+<form action="/errors/validateCaptcha">
+  Escribe los caracteres: <input id="captchacharacters" name="field-keywords" type="text">
+</form>
+{anchors}
+</body></html>"""
+
+
 def _listing_html(host: str, title: str, links: list[str]) -> str:
     anchors = "\n".join(f'    <a href="{u}">item {k}</a>' for k, u in enumerate(links))
     return f"""<html><head>
@@ -177,17 +187,22 @@ def crawl_corpus(n_pages: int = 2000, n_hosts: int = 40):
             links = chunk + [neighbor, home, f"/Mixup/detproducto.aspx?sku=bad{j}"]
             urls[cu] = ("listing", h, f"Categoria {j} {h}", links)
 
-        # product pages: link home + 2 sibling products (relative + absolute)
+        # product pages: link home + 2 sibling products (relative + absolute);
+        # every 29th page is a captcha interstitial (S9 quarantine path,
+        # amazon.go:290-295 — selector works for any profile)
         for k, (i, pu) in enumerate(zip(prod_idxs, prod_urls)):
             sib1 = prod_urls[(k + 1) % len(prod_urls)]
             sib2_rel = "detproducto.aspx?sku=" + _sku(prod_idxs[(k + 2) % len(prod_idxs)])
-            urls[pu] = ("product", h, i, [home, sib1, sib2_rel])
+            kind = "captcha" if _h(f"cap/{i}") % 29 == 0 else "product"
+            urls[pu] = (kind, h, i, [home, sib1, sib2_rel])
 
     pages = []
     for url, spec in urls.items():
         kind, h = spec[0], spec[1]
         if kind == "product":
             html = _product_html(h, spec[2], spec[3])
+        elif kind == "captcha":
+            html = _captcha_html(h, spec[3])
         else:
             html = _listing_html(h, spec[2], spec[3])
         ex = extract_page(url, html, profile)

@@ -57,6 +57,12 @@ def run_spark_crawl(spark, tmpdir, corpus, bloom_min_seen=10**9, max_rounds=60):
     return cat, job, history
 
 
+def _quarantine(cat):
+    if not cat.exists("quarantine"):
+        return set()
+    return {r["url"] for r in cat.read("quarantine").collect()}
+
+
 def _spark_state(cat):
     seen = {r["url"] for r in cat.read("seen").collect()}
     log = sorted(
@@ -102,6 +108,9 @@ def test_crawl_matches_golden_exact_antijoin(spark, tmp_path, corpus, golden):
     for iid in g_items:
         assert s_items[iid] == g_items[iid], iid
     assert golden.rounds == len(history)
+    # S9 quarantine path: captcha pages exist in the corpus and both sides
+    # quarantine the same URLs
+    assert _quarantine(cat) == set(golden.quarantine) != set()
 
 
 def test_crawl_matches_golden_with_bloom(spark, tmp_path, corpus, golden):
