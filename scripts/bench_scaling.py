@@ -24,10 +24,16 @@ def run_at(cpus: int, sf_dir: str, frontier_n: int | None) -> dict:
     env["SPARK_GRAFT_BENCH_ONLY"] = "schedule_dedupe"
     if frontier_n:
         env["SPARK_GRAFT_FRONTIER_N"] = str(frontier_n)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
+    # pin the whole process tree (JVM incl. GC/JIT/netty threads + python
+    # workers) to exactly N physical cores — local[N] alone only limits
+    # task slots, so the small leg would otherwise borrow the other cores
+    # for GC/JIT and overstate per-core throughput
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    import shutil
+
+    if shutil.which("taskset") and os.environ.get("SPARK_GRAFT_PIN", "1") == "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 

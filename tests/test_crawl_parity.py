@@ -149,3 +149,57 @@ def test_resume_from_checkpoint(spark, tmp_path, corpus, golden):
     assert s_log == g_log
     assert s_items == g_items
     assert s_frontier == g_frontier == set()
+
+
+def test_amazon_profile_crawl(spark, tmp_path):
+    """End-to-end loop with the AMAZON profile: exercises the pandas-UDF
+    admission path (non-java_safe regexes), result-slot link extraction,
+    review extraction, and captcha quarantine."""
+    from gocrawler_spark.datagen import (
+        AMAZON_CAPTCHA_HTML,
+        AMAZON_PRODUCT_HTML,
+        AMAZON_PRODUCT_URL,
+    )
+    from gocrawler_spark.profiles import AMAZON
+
+    search_url = "https://www.amazon.com.mx/s?k=macbook"
+    prod2 = "https://www.amazon.com.mx/Gildan-Camiseta/dp/B077ZKK9YB/ref=sr_1_1"
+    captcha_url = "https://www.amazon.com.mx/errors/x/dp/B000000000/y"
+    search_html = f"""<html><body>
+<div class="s-main-slot s-result-list s-search-results sg-row">
+  <a href="{AMAZON_PRODUCT_URL}">macbook</a>
+  <a href="/Gildan-Camiseta/dp/B077ZKK9YB/ref=sr_1_1">camiseta</a>
+  <a href="{captcha_url}">weird</a>
+  <a href="https://other.example/dp/XXXXXXXXXX/x">offsite</a>
+</div>
+<a href="https://www.amazon.com.mx/s?k=ignored&page=2&x">next</a>
+</body></html>"""
+    prod2_html = AMAZON_PRODUCT_HTML.replace('Apple MacBook Air 13"', "Camiseta Gildan")
+    pages = {
+        search_url: search_html.encode(),
+        AMAZON_PRODUCT_URL: AMAZON_PRODUCT_HTML.encode(),
+        prod2: prod2_html.encode(),
+        captcha_url: AMAZON_CAPTCHA_HTML.encode(),
+    }
+    seeds = [{"url": search_url, "priority": 0}]
+    robots = [{"host": "www.amazon.com.mx", "agent": "*", "rule": "allow",
+               "path_prefix": "/", "crawl_delay_ms": 0}]
+    golden = simulate(pages, seeds, robots, AMAZON,
+                      SimConfig(credit_per_host=4, max_rounds=10))
+    assert set(golden.quarantine) == {captcha_url}
+    assert len(golden.items) == 2
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    job = CrawlJob(spark, cat, AMAZON,
+                   CrawlConfig(credit_per_host=4, max_rounds=10, salt_parts=2, n_buckets=4))
+    pages_rows = [{"url": u, "warc_ts": __import__("datetime").datetime(2024, 1, 1),
+                   "html": h, "text": "", "lang": "es"} for u, h in pages.items()]
+    job.init_run(seeds_df(spark, seeds), robots_df(spark, robots))
+    job.run(pages_df(spark, pages_rows))
+
+    s_seen, s_log, s_items, s_frontier = _spark_state(cat)
+    g_seen, g_log, g_items, g_frontier = _golden_state(golden)
+    assert s_seen == g_seen
+    assert s_log == g_log
+    assert s_items == g_items
+    assert _quarantine(cat) == {captcha_url}
