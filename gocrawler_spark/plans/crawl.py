@@ -153,10 +153,27 @@ class CrawlJob:
             frontier, cfg.credit_per_host, cfg.salt_parts
         ).cache()
         fetch_set = sel.filter(F.col("is_selected"))
-        # deterministic global order spec (round, priority, host, url)
-        w = Window.orderBy("priority", "host", "url")
-        fetch_set = fetch_set.withColumn("seq", F.row_number().over(w)).cache()
-        n_fetch = fetch_set.count()
+        # deterministic global order spec (round, priority, host, url),
+        # computed WITHOUT a single-partition window: per-(priority,host)
+        # group sizes are tiny (≤ hosts×priorities rows) → driver computes
+        # prefix offsets; seq = offset + rank-within-group
+        counts = fetch_set.groupBy("priority", "host").count().collect()
+        offsets, acc = {}, 0
+        for row in sorted(counts, key=lambda r: (r["priority"], r["host"])):
+            offsets[(row["priority"], row["host"])] = acc
+            acc += row["count"]
+        off_df = self.spark.createDataFrame(
+            [(p, h, o) for (p, h), o in offsets.items()],
+            "priority int, host string, _off long",
+        )
+        w_grp = Window.partitionBy("priority", "host").orderBy("url")
+        fetch_set = (
+            fetch_set.join(F.broadcast(off_df), ["priority", "host"])
+            .withColumn("seq", (F.col("_off") + F.row_number().over(w_grp)).cast("int"))
+            .drop("_off")
+            .cache()
+        )
+        n_fetch = acc
         if n_fetch == 0:
             sel.unpersist()
             fetch_set.unpersist()
