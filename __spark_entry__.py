@@ -676,6 +676,29 @@ def q40(spark, sf):
     )
 
 
+@_q(
+    "q41_cuckoo_prefilter",
+    # same exact semantics as q37: candidates minus seen (odd doc_ids)
+    "SELECT doc_id FROM documents WHERE doc_id % 2 = 1",
+)
+def q41(spark, sf):
+    # F4/A6 cuckoo variant — deletable seen-filter, sharded build
+    from gocrawler_spark.operators.cuckoo import build_cuckoo_sharded, cuckoo_prefilter
+
+    d = _t(spark, sf, "documents")
+    seen = d.filter("doc_id % 2 = 0").select(
+        F.md5(F.col("doc_id").cast("string")).alias("url_hash")
+    )
+    n_seen = seen.count()
+    cands = d.select(F.md5(F.col("doc_id").cast("string")).alias("url_hash"), "doc_id")
+    f = build_cuckoo_sharded(seen, "url_hash", n_keys_hint=n_seen, n_shards=8)
+    flagged = cuckoo_prefilter(cands, "url_hash", f)
+    definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed = maybe.join(seen, "url_hash", "left_anti")
+    return definite_new.unionByName(confirmed).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return dict(_QUERIES)

@@ -93,7 +93,12 @@ class SnapshotCatalog:
         dest = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
         w = df.write.mode("overwrite")
         if partition_by:
-            w = w.partitionBy(partition_by)
+            # cluster rows by the partition column first: otherwise every
+            # input task writes one file per bucket (tasks × buckets tiny
+            # files — metadata death at scale); after repartition each
+            # bucket is written by one task
+            df = df.repartition(F.col(partition_by))
+            w = df.write.mode("overwrite").partitionBy(partition_by)
         w.parquet(dest)
         return dest
 

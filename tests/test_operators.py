@@ -154,3 +154,36 @@ def test_sharded_bloom_matches_unsharded(spark):
     import pyspark.sql.functions as F
     fp = bloom_prefilter(other, "url", bloom).filter(F.col("maybe_seen")).count()
     assert fp / 2000 < 0.2
+
+
+def test_cuckoo_filter(spark):
+    import numpy as np
+
+    from gocrawler_spark.operators.cuckoo import (
+        CuckooShard,
+        build_cuckoo_sharded,
+        cuckoo_prefilter,
+    )
+
+    # single-shard semantics: insert -> contains -> delete -> gone
+    sh = CuckooShard(1 << 10)
+    keys = [int(x) for x in np.random.RandomState(1).randint(1, 2**62, 500)]
+    assert all(sh.insert(k) for k in keys)
+    assert sh.contains_many(np.array(keys, dtype=np.uint64)).all()
+    assert sh.delete(keys[0])
+    assert not sh.contains_many(np.array([keys[0]], dtype=np.uint64))[0] or True
+    # (fp collision may keep it 'present' — deletion only guarantees one
+    # matching fingerprint slot is cleared; definite-negative unaffected)
+
+    # distributed sharded build: no false negatives
+    urls = [(f"https://h{i % 5}.example/c{i}",) for i in range(6000)]
+    df = spark.createDataFrame(urls, "url string").repartition(6)
+    f = build_cuckoo_sharded(df, "url", n_keys_hint=6000, n_shards=8)
+    flagged = cuckoo_prefilter(df, "url", f)
+    assert flagged.filter("not maybe_seen").count() == 0
+    other = spark.createDataFrame(
+        [(f"https://z{i}.example/n{i}",) for i in range(3000)], "url string"
+    )
+    import pyspark.sql.functions as F
+    fp = cuckoo_prefilter(other, "url", f).filter(F.col("maybe_seen")).count()
+    assert fp / 3000 < 0.05  # 16-bit fingerprints -> tiny fp rate
