@@ -676,6 +676,42 @@ def q40(spark, sf):
     )
 
 
+_QUALITY_SQL = (
+    "round(0.3 * least(len(l) / 100.0, 1.0) "
+    f"+ 0.3 * least((CASE WHEN len(l) > 0 THEN {_HITS['en']} * 1.0 / len(l) ELSE 0.0 END) * 4, 1.0) "
+    "+ 0.2 * greatest(1.0 - (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) ELSE 0.0 END) * 5, 0.0) "
+    "+ 0.2 * (CASE WHEN len(l) > 0 AND list_aggregate(list_transform(l, x -> length(x)), 'sum') * 1.0 / len(l) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END), 6)"
+)
+
+
+@_q(
+    "q42_curation_pipeline",
+    # end-to-end corpus curation: quality gate -> exact dedup -> per-source stats
+    "WITH scored AS (SELECT doc_id, source, md5(text) AS content_hash, "
+    f"{_QUALITY_SQL} AS q FROM (SELECT *, {_TOKENIZE_SQL} AS l FROM documents) WHERE lang = 'en'), "
+    "kept AS (SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source, content_hash "
+    " FROM scored WHERE q >= 0.5 GROUP BY content_hash) "
+    "SELECT source, count(*) AS n_docs FROM kept GROUP BY source",
+)
+def q42(spark, sf):
+    # the composed training-data curation pipeline: language gate +
+    # quality threshold + exact dedup + per-source accounting
+    from pyspark.sql import Window
+
+    from gocrawler_spark.functions.text import quality_score
+
+    d = _t(spark, sf, "documents")
+    scored = (
+        d.filter(F.col("lang") == "en")
+        .withColumn("q", quality_score(F.col("text")))
+        .withColumn("content_hash", F.md5("text"))
+        .filter(F.col("q") >= 0.5)
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    kept = scored.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    return kept.groupBy("source").agg(F.count("*").alias("n_docs"))
+
+
 @_q(
     "q41_cuckoo_prefilter",
     # same exact semantics as q37: candidates minus seen (odd doc_ids)

@@ -35,7 +35,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = default_parallelism()
 
 # frontier size for the scheduling bench, scaled off the sf dir
-_SF_FRONTIER = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+_SF_FRONTIER = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 8_000_000}
 N_FRONTIER = int(
     os.environ.get(
         "SPARK_GRAFT_FRONTIER_N",
