@@ -202,3 +202,48 @@ def test_streaming_frontier_ingest(spark, tmp_path):
     frontier_ingest_batch(batch1, 1, cat, profile, rdf)
     assert cat.read("frontier").count() == 2
     assert cat.read("seen").count() == 2
+
+
+def test_streaming_readstream_ingest(spark, tmp_path):
+    """True Structured Streaming path: readStream file source ->
+    foreachBatch admission/dedup -> frontier tables (availableNow)."""
+    import json
+    import os
+
+    from gocrawler_spark.datagen import crawl_corpus
+    from gocrawler_spark.streaming.microbatch import start_frontier_ingest
+    from gocrawler_spark.tables.catalog import SnapshotCatalog
+
+    from .conftest import robots_df as mk_robots
+
+    _, _, robots, hosts, profile = crawl_corpus(50, 8)
+    src = tmp_path / "incoming"
+    os.makedirs(src)
+    with open(src / "batch1.json", "w") as f:
+        for u in (f"https://{hosts[0]}/Mixup/Home.aspx",
+                  f"https://{hosts[1]}/Mixup/Categoria.aspx?etq=rock",
+                  "https://evil.example/Mixup/Home.aspx"):
+            f.write(json.dumps({"url": u, "depth": 0}) + "\n")
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"), spark)
+    stream = (
+        spark.readStream.schema("url string, depth int")
+        .json(str(src))
+    )
+    q = start_frontier_ingest(
+        stream, cat, profile, mk_robots(spark, robots),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert cat.read("frontier").count() == 2
+    # second file arrives; replays + new url -> only the new one lands
+    with open(src / "batch2.json", "w") as f:
+        f.write(json.dumps({"url": f"https://{hosts[0]}/Mixup/Home.aspx", "depth": 0}) + "\n")
+        f.write(json.dumps({"url": f"https://{hosts[2]}/Mixup/Home.aspx", "depth": 0}) + "\n")
+    q2 = start_frontier_ingest(
+        stream, cat, profile, mk_robots(spark, robots),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert cat.read("frontier").count() == 3
+    assert cat.read("seen").count() == 3
