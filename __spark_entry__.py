@@ -116,15 +116,18 @@ def q02(spark, sf):
 
 @_q(
     "q03_seen_antijoin",
-    "SELECT DISTINCT user_id FROM events WHERE event_type='click' AND user_id NOT IN "
-    "(SELECT user_id FROM events WHERE event_type='purchase')",
+    "SELECT DISTINCT user_id, cast(ts AS date) AS day FROM events e1 "
+    "WHERE event_type = 'click' AND NOT EXISTS ("
+    " SELECT 1 FROM events e2 WHERE e2.event_type = 'purchase' "
+    " AND e2.user_id = e1.user_id AND cast(e2.ts AS date) = cast(e1.ts AS date))",
 )
 def q03(spark, sf):
-    # J4/F4 — the URL-seen anti-join shape
-    e = _t(spark, sf, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id")
-    purchases = e.filter(F.col("event_type") == "purchase").select("user_id")
-    return clicks.join(purchases, "user_id", "left_anti").distinct()
+    # J4/F4 — the URL-seen anti-join shape: (user, day) pairs that
+    # clicked but did not purchase that day
+    e = _t(spark, sf, "events").withColumn("day", F.col("ts").cast("date"))
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "day")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "day")
+    return clicks.join(purchases, ["user_id", "day"], "left_anti").distinct()
 
 
 @_q(
