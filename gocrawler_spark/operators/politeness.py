@@ -27,17 +27,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def host_credit_col(
+    default_credit: int,
+    round_budget_ms: int | None = None,
+    delay_col: str = "crawl_delay_ms",
+):
+    """Per-host politeness credit: with a round budget, a host with
+    crawl-delay d may sustain budget/d fetches per round (the batch form
+    of colly's Parallelism+RandomDelay budget); hosts without a delay
+    rule get the default."""
+    if round_budget_ms is None:
+        return F.lit(default_credit)
+    return F.when(
+        F.col(delay_col).isNotNull() & (F.col(delay_col) > 0),
+        F.greatest(F.floor(F.lit(round_budget_ms) / F.col(delay_col)), F.lit(1)),
+    ).otherwise(F.lit(default_credit)).cast("int")
+
+
 def select_fetch_set(
     candidates: DataFrame,
     credit_per_host: int,
     salt_parts: int = 16,
     host_col: str = "host",
     order_cols: tuple[str, ...] = ("priority", "url"),
+    credit_col: str | None = None,
 ) -> DataFrame:
     """Annotate candidates with ``fetch_rank``; rows with
-    ``fetch_rank <= credit_per_host`` are this round's fetch set, the
-    rest stay in the frontier (caller splits on ``is_selected``)."""
+    ``fetch_rank <= credit`` are this round's fetch set, the rest stay
+    in the frontier (caller splits on ``is_selected``). ``credit_col``
+    names a per-row (per-host) credit column; otherwise the uniform
+    ``credit_per_host`` applies."""
     order = [F.col(c) for c in order_cols]
+    credit = F.col(credit_col) if credit_col else F.lit(credit_per_host)
 
     salted = candidates.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_parts))
@@ -45,8 +66,8 @@ def select_fetch_set(
     w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
     phase1 = salted.withColumn("_r1", F.row_number().over(w1))
 
-    survivors = phase1.filter(F.col("_r1") <= credit_per_host)
-    rest = phase1.filter(F.col("_r1") > credit_per_host).withColumn(
+    survivors = phase1.filter(F.col("_r1") <= credit)
+    rest = phase1.filter(F.col("_r1") > credit).withColumn(
         "fetch_rank", F.lit(None).cast("int")
     )
 
@@ -56,7 +77,7 @@ def select_fetch_set(
     out = ranked.unionByName(rest).drop("_salt", "_r1")
     return out.withColumn(
         "is_selected",
-        F.coalesce(F.col("fetch_rank") <= credit_per_host, F.lit(False)),
+        F.coalesce(F.col("fetch_rank") <= credit, F.lit(False)),
     )
 
 

@@ -74,6 +74,10 @@ STATE_TABLES = ("frontier", "seen", "items", "fetch_log", "quarantine")
 @dataclass
 class CrawlConfig:
     credit_per_host: int = 4  # colly LimitRule Parallelism (scraper.go:103)
+    # optional per-host budgets: credit(host) = max(1, budget/delay_ms)
+    # using the host's max crawl_delay_ms from the robots table — the
+    # batch form of LimitRule Parallelism=4 / RandomDelay<=6s
+    round_budget_ms: int | None = None
     max_depth: int | None = None  # MaxDepth commented out (scraper.go:81)
     max_rounds: int = 1000
     salt_parts: int = 16
@@ -112,6 +116,9 @@ class CrawlJob:
     def load_robots(self, robots_df: DataFrame):
         self._robots_df = robots_df.cache()
         self._robots_df.count()
+        self._host_delays = self._robots_df.groupBy("host").agg(
+            F.max("crawl_delay_ms").alias("crawl_delay_ms")
+        )
 
     def _admit(self, cand: DataFrame) -> DataFrame:
         """F1+F2+F6 then robots (F5). cand must have url/depth columns."""
@@ -148,10 +155,24 @@ class CrawlJob:
         cfg = self.cfg
         frontier = self.cat.read("frontier")
 
-        # O3 politeness: salted two-phase per-host credit selection
-        sel = select_fetch_set(
-            frontier, cfg.credit_per_host, cfg.salt_parts
-        ).cache()
+        # O3 politeness: salted two-phase per-host credit selection;
+        # with a round budget the credit varies per host (crawl_delay_ms)
+        if cfg.round_budget_ms is not None:
+            from ..operators.politeness import host_credit_col
+
+            frontier = frontier.join(
+                F.broadcast(self._host_delays), "host", "left"
+            ).withColumn(
+                "_credit",
+                host_credit_col(cfg.credit_per_host, cfg.round_budget_ms),
+            ).drop("crawl_delay_ms")
+            sel = select_fetch_set(
+                frontier, cfg.credit_per_host, cfg.salt_parts, credit_col="_credit"
+            ).drop("_credit").cache()
+        else:
+            sel = select_fetch_set(
+                frontier, cfg.credit_per_host, cfg.salt_parts
+            ).cache()
         fetch_set = sel.filter(F.col("is_selected"))
         # deterministic global order spec (round, priority, host, url),
         # computed WITHOUT a single-partition window: per-(priority,host)

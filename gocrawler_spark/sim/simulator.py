@@ -38,6 +38,9 @@ class SimConfig:
     credit_per_host: int = 4  # colly LimitRule Parallelism=4 (scraper.go:103)
     max_depth: int | None = None  # MaxDepth(5) commented out (scraper.go:81)
     max_rounds: int = 1000
+    # per-host budget: credit(host) = max(1, budget // max(crawl_delay_ms))
+    # for hosts with a delay rule, else credit_per_host
+    round_budget_ms: int | None = None
 
 
 @dataclass
@@ -119,10 +122,22 @@ def simulate(
         by_host: dict[str, list[dict]] = {}
         for row in frontier.values():
             by_host.setdefault(row["host"], []).append(row)
+        host_delay: dict[str, int] = {}
+        if config.round_budget_ms is not None:
+            for r in robots:
+                d = r.get("crawl_delay_ms") or 0
+                if d > host_delay.get(r["host"], 0):
+                    host_delay[r["host"]] = d
+
+        def credit_of(host: str) -> int:
+            if config.round_budget_ms is None or host_delay.get(host, 0) <= 0:
+                return config.credit_per_host
+            return max(1, config.round_budget_ms // host_delay[host])
+
         fetch_set = []
         for host, rows in by_host.items():
             rows.sort(key=lambda r: (r["priority"], r["url"]))
-            fetch_set.extend(rows[: config.credit_per_host])
+            fetch_set.extend(rows[: credit_of(host)])
         # deterministic order spec: (round, priority, host, url)
         fetch_set.sort(key=lambda r: (r["priority"], r["host"], r["url"]))
 

@@ -203,3 +203,33 @@ def test_amazon_profile_crawl(spark, tmp_path):
     assert s_log == g_log
     assert s_items == g_items
     assert _quarantine(cat) == {captcha_url}
+
+
+def test_budgeted_politeness_parity(spark, tmp_path, corpus):
+    """Per-host credits from crawl_delay_ms (round budget semantics):
+    heterogeneous delays still match the golden simulator exactly."""
+    kept, seeds, robots, profile = corpus
+    # heterogeneous delays: 500..4000ms by host index
+    robots2 = []
+    for k, r in enumerate(robots):
+        r2 = dict(r)
+        r2["crawl_delay_ms"] = 500 * (1 + k % 8)
+        robots2.append(r2)
+    budget = 6000  # credits 12,6,4,3,2,2,1,1
+    golden = simulate(
+        {p["url"]: p["html"] for p in kept}, seeds, robots2, profile,
+        SimConfig(credit_per_host=CREDIT, max_rounds=80, round_budget_ms=budget),
+    )
+    cat = SnapshotCatalog(str(tmp_path / "budget"), spark)
+    job = CrawlJob(
+        spark, cat, profile,
+        CrawlConfig(credit_per_host=CREDIT, max_rounds=80, salt_parts=4,
+                    n_buckets=8, round_budget_ms=budget),
+    )
+    job.init_run(seeds_df(spark, seeds), robots_df(spark, robots2))
+    job.run(pages_df(spark, kept))
+    s_seen, s_log, _, s_frontier = _spark_state(cat)
+    g_seen, g_log, _, g_frontier = _golden_state(golden)
+    assert s_seen == g_seen
+    assert s_log == g_log
+    assert s_frontier == g_frontier == set()
