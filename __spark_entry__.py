@@ -151,8 +151,10 @@ def q04(spark, sf):
 
 @_q(
     "q05_fetch_join",
+    # cast the SUM itself: DuckDB SUM(BIGINT) returns HUGEINT, which
+    # hash-mismatches Spark's BIGINT even when values are identical
     "SELECT o_orderkey, count(*) AS n_lines, "
-    "sum(cast(floor(l_extendedprice*100+0.5) AS bigint)) AS revenue_cents "
+    "cast(sum(cast(floor(l_extendedprice*100+0.5) AS bigint)) AS bigint) AS revenue_cents "
     "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey",
 )
 def q05(spark, sf):
@@ -172,7 +174,7 @@ def q05(spark, sf):
 
 @_q(
     "q06_broadcast_dim_join",
-    "SELECT r_name, sum(cast(floor(l_extendedprice*100+0.5) AS bigint)) AS revenue_cents "
+    "SELECT r_name, cast(sum(cast(floor(l_extendedprice*100+0.5) AS bigint)) AS bigint) AS revenue_cents "
     "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
     "JOIN nation ON s_nationkey = n_nationkey "
     "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
