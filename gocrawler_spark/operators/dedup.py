@@ -213,35 +213,68 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return per_doc.select(F.col(id_col), expr.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(
-    docs: DataFrame,
+_SIMHASH_BITS = 63  # simhash() emits 63-bit hashes (sign bit unused)
+
+
+def _chunk_bounds(n_chunks: int, n_bits: int = _SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(offset, width) per chunk, widths as even as possible."""
+    base, extra = divmod(n_bits, n_chunks)
+    bounds, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
+def simhash_pairs_from_hashes(
+    sh: DataFrame,
     max_hamming: int = 3,
-    text_col: str = "text",
     id_col: str = "doc_id",
+    hash_col: str = "simhash",
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 4×16-bit chunks (a pair within
-    hamming distance ≤3 must share at least one chunk), verify hamming
-    distance exactly via bit_count(xor)."""
-    sh = simhash(docs, text_col, id_col)
+    """Near-pairs from a (id, simhash) DataFrame.
+
+    Blocking: the hash is split into ``max_hamming + 1`` chunks — by
+    pigeonhole, a pair within hamming distance ``max_hamming`` differs
+    in at most ``max_hamming`` chunks, so it MUST agree on at least one
+    chunk; chunk equality is therefore a recall-lossless candidate key.
+    Candidates are verified exactly via bit_count(xor).
+
+    Cost note for scale: chunk width = 63/(h+1) bits, so large ``h``
+    means few distinct chunk values and quadratic within-bucket pairing
+    (h=8 → 7-bit chunks → ≤1152 buckets). For aggressive thresholds on
+    a 10^9-doc corpus use minhash_lsh_pairs instead, or pre-partition
+    by a coarse shard key; this operator guards with an assertion
+    rather than silently losing recall (the round-1 bug: fixed 4 chunks
+    guaranteed recall only for h ≤ 3 regardless of the h requested).
+    """
+    if not 0 <= max_hamming <= 16:
+        raise ValueError(
+            f"max_hamming={max_hamming} out of range [0, 16]: chunk "
+            "blocking degenerates past 16 (chunks < 4 bits); use "
+            "minhash_lsh_pairs for looser similarity"
+        )
+    n_chunks = max_hamming + 1
     chunked = sh.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(hash_col, off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("cv"),
                     )
-                    for c in range(4)
+                    for c, (off, w) in enumerate(_chunk_bounds(n_chunks))
                 ]
             )
         ).alias("cc"),
-    ).select(id_col, "simhash", "cc.chunk", "cc.cv")
-    a = chunked.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "chunk", "cv")
-    b = chunked.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "chunk", "cv")
+    ).select(id_col, hash_col, "cc.chunk", "cc.cv")
+    a = chunked.select(F.col(id_col).alias("a"), F.col(hash_col).alias("ha"), "chunk", "cv")
+    b = chunked.select(F.col(id_col).alias("b"), F.col(hash_col).alias("hb"), "chunk", "cv")
     cands = (
         a.join(b, ["chunk", "cv"]).filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb").distinct()
     )
@@ -250,6 +283,19 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs over documents: simhash() then
+    chunk-blocked pairing with a pigeonhole recall guarantee derived
+    from ``max_hamming`` (see simhash_pairs_from_hashes)."""
+    sh = simhash(docs, text_col, id_col)
+    return simhash_pairs_from_hashes(sh, max_hamming, id_col=id_col)
 
 
 def embedding_cosine_dups(

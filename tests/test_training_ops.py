@@ -56,6 +56,33 @@ def test_simhash_near_pairs(spark, docs):
     assert pairs[(0, 2)] == 0
 
 
+def test_simhash_pairs_recall_guarantee(spark):
+    """Round-1 bug regression: a hamming-8 pair whose differing bits are
+    spread 2-per-16-bit-chunk shares NO chunk under the old fixed 4x16
+    blocking and was silently dropped. With chunks derived from
+    max_hamming (pigeonhole: h+1 chunks), it must be found."""
+    from gocrawler_spark.operators.dedup import simhash_pairs_from_hashes
+
+    base = 0x123456789ABCDE5
+    # flip 2 bits inside each of the old 16-bit chunks (offsets 0/16/32/48)
+    diff = (0b11) | (0b11 << 16) | (0b11 << 32) | (0b11 << 48)
+    other = base ^ diff
+    assert bin(diff).count("1") == 8
+    sh = spark.createDataFrame(
+        [(0, base), (1, other), (2, 0x7FFFFFFFFFFFFFF ^ base)],
+        "doc_id long, simhash long",
+    )
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_pairs_from_hashes(sh, max_hamming=8).collect()}
+    assert pairs == {(0, 1): 8}
+
+    # tighter budget excludes the pair again (verification, not blocking)
+    assert simhash_pairs_from_hashes(sh, max_hamming=7).count() == 0
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs_from_hashes(sh, max_hamming=17)
+
+
 def test_embedding_ann(spark):
     import numpy as np
 
