@@ -572,6 +572,31 @@ def q31(spark, sf):
     )
 
 
+def _entity_oracle_sql() -> str:
+    # built from the same ENTITY_LEXICON the Spark operator uses
+    from gocrawler_spark.operators.analyze import ENTITY_LEXICON
+
+    lex_in = ", ".join(f"'{w}'" for w in ENTITY_LEXICON)
+    cases = " ".join(f"WHEN '{w}' THEN '{t}'" for w, t in ENTITY_LEXICON.items())
+    return (
+        "SELECT doc_id, entity, "
+        f"CASE lower(entity) {cases} ELSE 'OTHER' END AS etype "
+        "FROM (SELECT doc_id, unnest(list_distinct(list_filter("
+        "string_split_regex(text, '[^A-Za-z]+'), "
+        f"x -> x <> '' AND (lower(x) IN ({lex_in}) "
+        "OR regexp_matches(x, '^[A-Z][a-z]+$'))))) AS entity FROM documents)"
+    )
+
+
+@_q("q44_entity_stub", _entity_oracle_sql())
+def q44(spark, sf):
+    # E19 second half — DetectEntities deterministic stub
+    # (analyzer.go:96-116); typed lexicon + Capitalized-word heuristic
+    from gocrawler_spark.operators.analyze import entities_exploded
+
+    return entities_exploded(_t(spark, sf, "documents"))
+
+
 _SENT_TOK_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9_]+'), x -> x <> '')"
 _POS_SQL = "('excelente','buena','bueno','rapida','rapido','great','good','cumple','recomendado','perfecto')"
 _NEG_SQL = "('mala','malo','lento','lenta','bad','poor','defecto','roto','terrible','pesimo')"

@@ -172,15 +172,35 @@ def test_analyze_items(spark):
 
     items = spark.createDataFrame(
         [
-            ("i1", [("t", "excelente", "a", 5.0, None), ("t2", "roto", "b", 1.0, None)]),
+            ("i1", [("t", "excelente maquina de Apple", "a", 5.0, None), ("t2", "roto", "b", 1.0, None)]),
             ("i2", []),
         ],
         "id string, reviews array<struct<title:string,content:string,author:string,stars:double,date:timestamp>>",
     )
     out = {r["id"]: r for r in analyze_items(items).collect()}
     assert "i2" not in out  # reviews-only gate (parser.go:36-40)
+    # both Comprehend legs (analyzer.go:42-116): sentiment AND entities
     assert out["i1"]["comment_labels"] == {0: "POSITIVE", 1: "NEGATIVE"}
+    assert out["i1"]["comment_entities"] == {0: ["Apple"], 1: []}
     assert out["i1"]["n_reviews"] == 2
+
+
+def test_extract_entities(spark):
+    from gocrawler_spark.operators.analyze import entities_exploded
+
+    df = spark.createDataFrame(
+        [(1, "Juan compro en amazon un disco de rock en Madrid"),
+         (2, "nothing here but lowercase words"),
+         (3, "Beatles Beatles spark")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["entity"]): r["etype"] for r in entities_exploded(df).collect()}
+    assert rows[(1, "Juan")] == "PERSON"
+    assert rows[(1, "amazon")] == "ORGANIZATION"  # lexicon is case-insensitive
+    assert rows[(1, "Madrid")] == "LOCATION"
+    assert (2, "nothing") not in rows and not any(k[0] == 2 for k in rows)
+    assert rows[(3, "Beatles")] == "OTHER" and rows[(3, "spark")] == "ORGANIZATION"
+    assert sum(1 for k in rows if k[0] == 3) == 2  # distinct per doc
 
 
 def test_multimodal_plumbing(spark):
