@@ -37,6 +37,32 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 4) not in pairs
 
 
+def test_ngram_jaccard_max_df_cap(spark):
+    """Hot-shingle skew cap: a stopword trigram shared by EVERY doc is
+    excluded from candidate generation, but jaccard values stay exact
+    (intersection over all ngrams) and near-dup pairs sharing rare
+    shingles are still found."""
+    from gocrawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "the of and in to is that it for as"  # every doc shares these
+    rows = [
+        (0, f"{hot} unique alpha beta gamma delta epsilon"),
+        (1, f"{hot} unique alpha beta gamma delta zeta"),  # near-dup of 0
+        (2, f"{hot} totally different tail words here now"),
+    ] + [(10 + i, f"{hot} filler{i} pad{i} more{i} words{i} tail{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold above the hot-prefix floor (~0.42): pairs similar ONLY
+    # through capped shingles can't qualify, so results must be identical
+    uncapped = {(r["a"], r["b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()}
+    capped = {(r["a"], r["b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, threshold=0.6, max_df=3).collect()}
+    assert (0, 1) in capped
+    # same pairs, same exact values: capping changed cost, not results
+    assert capped == uncapped
+
+
 def test_minhash_lsh_agrees_with_exact(spark, docs):
     from gocrawler_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
@@ -126,6 +152,39 @@ def test_embedding_cosine_dups(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pairs = {(r["a"], r["b"]): r["cosine"] for r in embedding_cosine_dups(emb, 0.95).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+
+
+def test_embedding_neardups_not_exact(spark):
+    """Round-1 scale fix regression: banded sketches must find planted
+    NEAR-duplicates (cosine ~0.96-0.99, non-identical vectors), which the
+    old single full-equality 8-bit sketch missed ~57% of the time at the
+    0.95 boundary. Verified against brute-force cosine over all pairs."""
+    import itertools
+
+    import numpy as np
+
+    from gocrawler_spark.operators.dedup import embedding_cosine_dups
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(10):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        w = v + rng.randn(64) * 0.03  # |noise|~0.24 ⇒ cosine ~0.96-0.98
+        w /= np.linalg.norm(w)
+        rows.append((2 * i, v.tolist()))
+        rows.append((2 * i + 1, w.tolist()))
+    # brute-force oracle over all pairs
+    vecs = {i: np.array(v) for i, v in rows}
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if round(float(vecs[a] @ vecs[b]), 6) >= 0.95
+    }
+    assert len(expected) >= 8  # fixture sanity: most planted pairs qualify
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["a"], r["b"]) for r in embedding_cosine_dups(emb, 0.95).collect()}
+    assert got == expected
 
 
 def test_text_functions(spark, docs):
