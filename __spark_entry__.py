@@ -461,9 +461,9 @@ def q25(spark, sf):
 @_q("q26_ann_ivf")  # rows-only: approximate path; recall vs brute force in pytest
 def q26(spark, sf):
     from gocrawler_spark.operators.similarity import (
-        deterministic_centroids,
         ivf_assign,
         ivf_topk,
+        kmeans_centroids,
     )
 
     emb = _t(spark, sf, "embeddings").withColumn(
@@ -471,7 +471,7 @@ def q26(spark, sf):
     )
     queries = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
     corpus = emb.filter("vec_id >= 10")
-    cents = deterministic_centroids(corpus, n_centroids=16)
+    cents = kmeans_centroids(corpus, n_centroids=16, iters=2)
     assigned = ivf_assign(corpus, cents)
     return ivf_topk(assigned, cents, queries, k=5, nprobe=4)
 
@@ -622,7 +622,10 @@ def q32(spark, sf):
 @_q("q33_crawl_fetch_log")
 def q33(spark, sf):
     cat = _run_crawl(spark, sf, max_rounds=2)
-    return cat.read("fetch_log").select("req_id", "url", "round", "seq", "callback", "status_code")
+    return cat.read("fetch_log").select(
+        "req_id", "url", "round", "seq", "callback", "status_code",
+        "method", "duration_ms",
+    )
 
 
 @_q("q34_crawl_items")
@@ -763,6 +766,35 @@ def q41(spark, sf):
     maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed = maybe.join(seen, "url_hash", "left_anti")
     return definite_new.unionByName(confirmed).select("doc_id")
+
+
+@_q(
+    "q43_request_timing",
+    # the fetch_log lineage timing derivation (requestTracker.go:14-31 /
+    # A3), oracle-checked on document-derived urls: duration must be a
+    # pure md5(url) function, bounded by the 30 s timeout, and the
+    # per-source percentiles must agree engine-for-engine
+    "SELECT source, count(*) AS n, "
+    "round(cast(quantile_cont(d, 0.5) AS double), 4) AS p50, "
+    "round(cast(quantile_cont(d, 0.99) AS double), 4) AS p99 FROM ("
+    " SELECT source, 50 + ('0x' || substr(md5('doc://' || cast(doc_id AS varchar)), 7, 6))::BIGINT % 29950 AS d"
+    " FROM documents) GROUP BY source",
+)
+def q43(spark, sf):
+    from gocrawler_spark.functions.timing import synthetic_duration_ms
+
+    d = _t(spark, sf, "documents")
+    durs = d.select(
+        "source",
+        synthetic_duration_ms(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        ).alias("d"),
+    )
+    return durs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(d, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(d, 0.99)"), 4).alias("p99"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

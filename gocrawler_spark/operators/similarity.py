@@ -69,6 +69,53 @@ def deterministic_centroids(emb: DataFrame, n_centroids: int, id_col: str = "vec
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    iters: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined centroids, fully distributed and deterministic.
+
+    Init = deterministic_centroids (no RNG); each iteration assigns
+    vectors to their nearest centroid (Arrow-vectorized matmul) and
+    recomputes means as ``dims`` map-side-combinable avg() aggregates on
+    array elements — no explode, no collect_list, one shuffle of
+    n_centroids×dims floats per iteration. Empty cells keep their old
+    centroid. This is the 100 TB-quality upgrade over the md5-pick
+    init: better-balanced cells mean fewer probes per query recall."""
+    cents = deterministic_centroids(emb, n_centroids, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, vec_col, id_col)
+        new = assigned.groupBy("centroid_id").agg(
+            F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dims)]).alias("_new")
+        )
+        cents = (
+            cents.join(new, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_new"), F.col("centroid")).alias("centroid"),
+            )
+        )
+    return cents
+
+
+def ivf_write_index(assigned: DataFrame, path: str):
+    """Persist the cell assignment partitioned by centroid_id — the
+    bucketed-write half of the IVF index: a query probing ``nprobe``
+    cells reads only those partition dirs (partition pruning)."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_read_cells(spark, path: str, centroid_ids: list[int]) -> DataFrame:
+    """Read only the probed cells; the isin filter on the partition
+    column prunes every other cell's files (check PartitionFilters in
+    .explain)."""
+    return spark.read.parquet(path).filter(F.col("centroid_id").isin(centroid_ids))
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

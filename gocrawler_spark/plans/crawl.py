@@ -70,6 +70,33 @@ SEEN_SCHEMA = StructType(
 
 STATE_TABLES = ("frontier", "seen", "items", "fetch_log", "quarantine")
 
+# E18 header decoration: the reference injects a rotated header map + UA
+# into every request (scrapingHeader.go:11-24 — the pool has exactly one
+# entry, so "rotation" is a constant — plus colly.UserAgent at
+# scraper.go:83). In the synthetic fetch these are lineage metadata
+# columns on the fetch_log, carried per row as the reference serializes
+# request headers per tracked request (requestTracker.go:49-112).
+USER_AGENT = (
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X x.y; rv:42.0) "
+    "Gecko/20100101 Firefox/42.0"
+)
+HEADERS_POOL = {
+    "DNT": "1",
+    "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,"
+              "image/webp,image/apng,*/*;q=0.8,application/signed-exchange;v=b3;q=0.9",
+    "Accept-Encoding": "gzip, deflate, br",
+    "Accept-Language": "es-US,es-419;q=0.9,es;q=0.8,en;q=0.7",
+    "Cache-Control": "max-age=0",
+    "Connection": "keep-alive",
+}
+
+
+def _headers_col():
+    pairs = []
+    for k, v in HEADERS_POOL.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.create_map(*pairs)
+
 
 @dataclass
 class CrawlConfig:
@@ -90,6 +117,13 @@ class CrawlConfig:
     bloom_bits: int | None = None  # None -> sized from the live seen count
     bloom_hashes: int = 5
     bloom_fpp: float = 0.01
+    # J2 broadcast gate: above this row count the fetch set goes through
+    # a plain shuffle join (a web-scale round's set is hosts x credit —
+    # not broadcastable at 10^8 hosts)
+    broadcast_fetch_max: int = 4_000_000
+    # host-prefix length for the two-level seq prefix sum (36^K groups
+    # upper-bounds the level-2 single-partition window)
+    seq_prefix_len: int = 3
 
 
 class CrawlJob:
@@ -150,6 +184,67 @@ class CrawlJob:
         self._seen_count = seen.count()
         self._checkpoint(round_no=0, metrics={"seeds": self._seen_count})
 
+    def _assign_seq(self, fetch_set: DataFrame) -> DataFrame:
+        """Dense global ``seq`` in the deterministic (priority, host,
+        url) order spec (O4), computed entirely on executors.
+
+        Round 1 collected per-(priority, host) counts to the driver —
+        bounded by hosts×priorities, a multi-GB collect at 10^8 hosts.
+        Replaced by a two-level exclusive prefix sum over the counts
+        DataFrame: level 1 groups hosts by a lexicographic host PREFIX
+        (order-preserving, unlike hash salting, so group offsets
+        concatenate in host order) and windows within each
+        (priority, prefix) group in parallel; level 2 chains one row
+        per group / per priority (tiny windows). No collect anywhere.
+        """
+        k = self.cfg.seq_prefix_len
+        counts = (
+            fetch_set.groupBy("priority", "host")
+            .agg(F.count("*").alias("_cnt"))
+            .withColumn("_grp", F.substring("host", 1, k))
+        )
+        w_in = (
+            Window.partitionBy("priority", "_grp")
+            .orderBy("host")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        counts = counts.withColumn(
+            "_within", F.coalesce(F.sum("_cnt").over(w_in), F.lit(0))
+        )
+        grp_tot = counts.groupBy("priority", "_grp").agg(F.sum("_cnt").alias("_gtot"))
+        w_grp = (
+            Window.partitionBy("priority")
+            .orderBy("_grp")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        grp_off = grp_tot.withColumn(
+            "_goff", F.coalesce(F.sum("_gtot").over(w_grp), F.lit(0))
+        )
+        # priority-level exclusive prefix via a tiny theta self-join
+        # (priorities² rows) — avoids a no-partition global window
+        prio_tot = grp_tot.groupBy("priority").agg(F.sum("_gtot").alias("_ptot"))
+        earlier = prio_tot.select(F.col("priority").alias("_p2"), "_ptot")
+        prio_off = (
+            prio_tot.select("priority")
+            .join(F.broadcast(earlier), F.col("_p2") < F.col("priority"), "left")
+            .groupBy("priority")
+            .agg(F.coalesce(F.sum("_ptot"), F.lit(0)).alias("_poff"))
+        )
+        off = (
+            counts.join(grp_off.select("priority", "_grp", "_goff"), ["priority", "_grp"])
+            .join(prio_off.select("priority", "_poff"), "priority")
+            .select(
+                "priority", "host",
+                (F.col("_poff") + F.col("_goff") + F.col("_within")).alias("_off"),
+            )
+        )
+        w_host = Window.partitionBy("priority", "host").orderBy("url")
+        return (
+            fetch_set.join(off, ["priority", "host"])
+            .withColumn("seq", (F.col("_off") + F.row_number().over(w_host)).cast("int"))
+            .drop("_off")
+        )
+
     # ---------------------------------------------------------------- round
     def run_round(self, rnd: int, pages: DataFrame) -> dict:
         cfg = self.cfg
@@ -173,49 +268,35 @@ class CrawlJob:
             sel = select_fetch_set(
                 frontier, cfg.credit_per_host, cfg.salt_parts
             ).cache()
-        fetch_set = sel.filter(F.col("is_selected"))
-        # deterministic global order spec (round, priority, host, url),
-        # computed WITHOUT a single-partition window: per-(priority,host)
-        # group sizes are tiny (≤ hosts×priorities rows) → driver computes
-        # prefix offsets; seq = offset + rank-within-group
-        counts = fetch_set.groupBy("priority", "host").count().collect()
-        offsets, acc = {}, 0
-        for row in sorted(counts, key=lambda r: (r["priority"], r["host"])):
-            offsets[(row["priority"], row["host"])] = acc
-            acc += row["count"]
-        off_df = self.spark.createDataFrame(
-            [(p, h, o) for (p, h), o in offsets.items()],
-            "priority int, host string, _off long",
-        )
-        w_grp = Window.partitionBy("priority", "host").orderBy("url")
-        fetch_set = (
-            fetch_set.join(F.broadcast(off_df), ["priority", "host"])
-            .withColumn("seq", (F.col("_off") + F.row_number().over(w_grp)).cast("int"))
-            .drop("_off")
-            .cache()
-        )
-        n_fetch = acc
+        fetch_set = self._assign_seq(sel.filter(F.col("is_selected"))).cache()
+        n_fetch = fetch_set.count()
         if n_fetch == 0:
             sel.unpersist()
             fetch_set.unpersist()
             return {"round": rnd, "fetched": 0, "done": True}
 
-        # J2 fetch join — broadcast the small per-round fetch set against the
-        # big pages table; the pages scan reads only (url, html).
-        found = pages.select("url", "html").join(
-            F.broadcast(fetch_set), "url", "inner"
-        )
+        # J2 fetch join — the pages scan reads only (url, html). Broadcast
+        # the fetch set only while it actually fits (size-gated: at 10^8
+        # hosts x credit the per-round set is NOT broadcastable); above
+        # the gate, a plain equi-join lets AQE pick sort-merge/shuffled-
+        # hash on url, aligned with the url_hash bucketing.
+        pages_kv = pages.select("url", "html")
+        if n_fetch <= cfg.broadcast_fetch_max:
+            found = pages_kv.join(F.broadcast(fetch_set), "url", "inner")
+        else:
+            found = pages_kv.join(fetch_set, "url", "inner")
 
         extracted = extract_fetched(
             found.drop("fetch_rank").withColumnRenamed("seq", "fetch_rank"),
             self.profile,
         ).withColumnRenamed("fetch_rank", "seq").cache()
 
-        # OnError rows: anti-join against the (small, cached) extracted set —
-        # never a second scan of the pages table
-        missing = fetch_set.join(
-            F.broadcast(extracted.select("url")), "url", "left_anti"
-        )
+        # OnError rows: anti-join against the cached extracted set — never
+        # a second scan of the pages table; same broadcast size gate
+        ex_urls = extracted.select("url")
+        if n_fetch <= cfg.broadcast_fetch_max:
+            ex_urls = F.broadcast(ex_urls)
+        missing = fetch_set.join(ex_urls, "url", "left_anti")
 
         # ------------------------------------------------ frontier expansion
         links = (
@@ -321,7 +402,7 @@ class CrawlJob:
                 F.create_map().cast("map<string,string>"),
                 lambda acc, m: F.map_zip_with(acc, m, lambda k, v1, v2: F.coalesce(v1, v2)),
             ).alias("details"),
-        )
+        ).withColumn(BUCKET_COL, bucket_of(F.col("id"), self.cfg.n_buckets))
         n = batch.count()
 
         def when_matched(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -343,29 +424,43 @@ class CrawlJob:
                     "details",
                     lambda k, v1, v2: F.coalesce(v1, v2),
                 ).alias("details"),
+                BUCKET_COL,
             )
 
-        self.cat.merge_upsert("items", batch, "id", when_matched=when_matched)
+        # bucketed on md5 id -> bucket-delta MERGE rewrites only the
+        # buckets this round touched (O(delta), not O(items table))
+        self.cat.merge_upsert(
+            "items", batch, "id", when_matched=when_matched, partition_by=BUCKET_COL
+        )
         return n
 
     def _commit_fetch_log(self, rnd: int, extracted: DataFrame, missing: DataFrame) -> int:
+        """Request lineage rows per requestTracker.go:14-27: id, url,
+        callback, error, depth, method, status, start/end/duration, plus
+        the E18 header metadata and the J5 cookie-propagation column
+        (scraper.go:191-194 — a no-op in the synthetic fetch, carried as
+        an empty map so the schema surface matches)."""
+        from ..functions.timing import request_timing
         from ..operators.frontier import response_revalidation
 
+        def lineage(df: DataFrame, callback: str, error: str, status: int) -> DataFrame:
+            start_at, end_at, duration_ms = request_timing(F.col("url"), F.lit(rnd))
+            return df.select(
+                F.col("url_hash").alias("req_id"), "url",
+                F.lit(rnd).alias("round"), "seq",
+                F.lit(callback).alias("callback"), F.lit(error).alias("error"),
+                "depth", F.lit("GET").alias("method"),
+                F.lit(status).alias("status_code"),
+                start_at, end_at, duration_ms,
+                F.lit(USER_AGENT).alias("user_agent"),
+                _headers_col().alias("headers"),
+                F.create_map().cast("map<string,string>").alias("cookies"),
+                F.spark_partition_id().alias("partition_id"),
+            )
+
         ok = response_revalidation(extracted.select("url", "url_hash", "depth", "seq"), self.profile)
-        resp = ok.select(
-            F.col("url_hash").alias("req_id"), "url",
-            F.lit(rnd).alias("round"), "seq",
-            F.lit("OnResponse").alias("callback"), F.lit("").alias("error"),
-            "depth", F.lit(200).alias("status_code"),
-            F.spark_partition_id().alias("partition_id"),
-        )
-        errs = missing.select(
-            F.col("url_hash").alias("req_id"), "url",
-            F.lit(rnd).alias("round"), "seq",
-            F.lit("OnError").alias("callback"), F.lit("Not Found").alias("error"),
-            "depth", F.lit(404).alias("status_code"),
-            F.spark_partition_id().alias("partition_id"),
-        )
+        resp = lineage(ok, "OnResponse", "", 200)
+        errs = lineage(missing, "OnError", "Not Found", 404)
         n_err = errs.count()
         self.cat.append("fetch_log", resp.unionByName(errs))
         return n_err

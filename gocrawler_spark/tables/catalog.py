@@ -125,6 +125,16 @@ class SnapshotCatalog:
         dirs = prev + ([d] if self._has_parquet(d) else [])
         return self._commit(table, dirs, "append", schema_json=df.schema.json())
 
+    def _read_entry(self, entry) -> DataFrame:
+        """A manifest dir entry is either a whole data root (str) or a
+        per-bucket subset {"root": ..., "parts": ["bucket=N", ...]} left
+        behind by a bucket-delta merge; basePath keeps the partition
+        column when reading a subset of hive dirs."""
+        if isinstance(entry, str):
+            return self.spark.read.parquet(entry)
+        paths = [os.path.join(entry["root"], p) for p in entry["parts"]]
+        return self.spark.read.option("basePath", entry["root"]).parquet(*paths)
+
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
         snap = snapshot_id if snapshot_id is not None else self.current_snapshot(table)
         if snap is None:
@@ -136,11 +146,7 @@ class SnapshotCatalog:
 
             schema = StructType.fromJson(json.loads(man["schema"]))
             return self.spark.createDataFrame([], schema)
-        if len(dirs) == 1:
-            return self.spark.read.parquet(dirs[0])
-        # separate snapshot roots may each be hive-partitioned (bucket=N);
-        # read per-root and union (basePath differs per root)
-        dfs = [self.spark.read.parquet(d) for d in dirs]
+        dfs = [self._read_entry(d) for d in dirs]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -150,6 +156,18 @@ class SnapshotCatalog:
         if self.exists(table):
             return self.read(table)
         return self.spark.createDataFrame([], schema)
+
+    def _bucket_parts(self, entry) -> list[str] | None:
+        """Hive partition dirs (bucket=N) of a manifest entry, or None if
+        the entry's data is not bucket-partitioned on disk."""
+        if isinstance(entry, dict):
+            return list(entry["parts"])
+        parts = []
+        if os.path.isdir(entry):
+            for name in os.listdir(entry):
+                if name.startswith(f"{BUCKET_COL}=") and os.path.isdir(os.path.join(entry, name)):
+                    parts.append(name)
+        return parts or None
 
     def merge_upsert(
         self,
@@ -165,11 +183,27 @@ class SnapshotCatalog:
         ``when_matched(old_df, new_df) -> DataFrame`` customizes the
         matched branch (e.g. HSETNX first-wins detail maps, RPUSH review
         append — SURVEY §1.2). On Iceberg this is one MERGE INTO
-        statement; here: matched-rewrite + union of unmatched.
+        statement.
+
+        When the table is bucket-partitioned (``partition_by``), the
+        merge is **bucket-delta**: only buckets containing update keys
+        are read and rewritten; every other bucket's parquet dirs are
+        carried forward untouched in the new manifest — the same
+        file-level rewrite shape Iceberg MERGE produces, so per-round
+        I/O is O(delta buckets), not O(table). Falls back to the full
+        rewrite when any historical data dir is unbucketed.
         """
         if not self.exists(table):
             return self.overwrite(table, updates, partition_by)
+        if partition_by == BUCKET_COL:
+            snap = self._commit_bucket_delta(table, updates, key, when_matched)
+            if snap is not None:
+                return snap
         old = self.read(table)
+        if partition_by is not None and partition_by not in old.columns:
+            # unbucketed history: stay unbucketed (full rewrite)
+            updates = updates.drop(partition_by)
+            partition_by = None
         upd_keys = updates.select(key).distinct()
         untouched = old.join(upd_keys, key, "left_anti")
         if when_matched is None:
@@ -179,6 +213,47 @@ class SnapshotCatalog:
             merged = when_matched(matched_old, updates)
         out = untouched.unionByName(merged)
         return self.overwrite(table, out, partition_by)
+
+    def _commit_bucket_delta(self, table: str, updates: DataFrame, key: str, when_matched) -> int | None:
+        """Bucket-delta MERGE body; returns None when the table layout
+        can't support it (some dir is unbucketed -> caller rewrites)."""
+        cur = self.current_snapshot(table)
+        entries = self._manifest(table, cur)["dirs"]
+        per_entry_parts = [self._bucket_parts(e) for e in entries]
+        if any(p is None for p in per_entry_parts):
+            return None
+        # touched bucket ids: one tiny metadata collect (<= n_buckets
+        # ints — manifest-scale work, like Iceberg partition pruning)
+        touched = sorted(
+            r[0] for r in updates.select(BUCKET_COL).distinct().collect()
+        )
+        touched_parts = {f"{BUCKET_COL}={b}" for b in touched}
+        old_touched = self.read(table).filter(F.col(BUCKET_COL).isin(touched))
+        upd_keys = updates.select(key).distinct()
+        untouched_rows = old_touched.join(upd_keys, key, "left_anti")
+        if when_matched is None:
+            merged = updates
+        else:
+            matched_old = old_touched.join(upd_keys, key, "left_semi")
+            merged = when_matched(matched_old, updates)
+        out = untouched_rows.unionByName(merged.select(*untouched_rows.columns))
+        new_root = self._write_data(table, out, BUCKET_COL)
+        dirs = []
+        for entry, parts in zip(entries, per_entry_parts):
+            kept = [p for p in parts if p not in touched_parts]
+            if not kept:
+                continue
+            if isinstance(entry, str) and len(kept) == len(parts):
+                dirs.append(entry)  # nothing dropped: keep the plain root
+            else:
+                root = entry if isinstance(entry, str) else entry["root"]
+                dirs.append({"root": root, "parts": kept})
+        new_parts = [
+            p for p in (self._bucket_parts(new_root) or []) if p in touched_parts
+        ]
+        if new_parts:
+            dirs.append({"root": new_root, "parts": new_parts})
+        return self._commit(table, dirs, "merge-delta", schema_json=out.schema.json())
 
     def rollback(self, table: str, snapshot_id: int) -> int:
         """Re-publish an old snapshot as current (Iceberg rollback_to_snapshot).

@@ -35,7 +35,7 @@ def golden(corpus) -> SimResult:
     )
 
 
-def run_spark_crawl(spark, tmpdir, corpus, bloom_min_seen=10**9, max_rounds=60):
+def run_spark_crawl(spark, tmpdir, corpus, bloom_min_seen=10**9, max_rounds=60, **cfg_extra):
     kept, seeds, robots, profile = corpus
     cat = SnapshotCatalog(str(tmpdir), spark)
     job = CrawlJob(
@@ -49,6 +49,7 @@ def run_spark_crawl(spark, tmpdir, corpus, bloom_min_seen=10**9, max_rounds=60):
             n_buckets=8,
             bloom_min_seen=bloom_min_seen,
             bloom_bits=1 << 18,
+            **cfg_extra,
         ),
     )
     pages = pages_df(spark, kept)
@@ -121,6 +122,42 @@ def test_crawl_matches_golden_with_bloom(spark, tmp_path, corpus, golden):
     assert s_seen == g_seen
     assert s_log == g_log
     assert s_frontier == g_frontier == set()
+
+
+def test_crawl_no_broadcast_path_and_lineage(spark, tmp_path, corpus, golden):
+    """broadcast_fetch_max=0 forces the shuffle fetch join (the 10^8-host
+    path) — results must be identical; and the fetch_log must carry the
+    full requestTracker lineage row (requestTracker.go:14-27): method,
+    start/end/duration, E18 headers, J5 cookies."""
+    cat, job, _ = run_spark_crawl(
+        spark, tmp_path / "nobc", corpus, broadcast_fetch_max=0
+    )
+    s_seen, s_log, _, s_frontier = _spark_state(cat)
+    g_seen, g_log, _, g_frontier = _golden_state(golden)
+    assert s_seen == g_seen
+    assert s_log == g_log
+    assert s_frontier == g_frontier == set()
+
+    log = cat.read("fetch_log")
+    cols = set(log.columns)
+    assert {"method", "start_at", "end_at", "duration_ms",
+            "user_agent", "headers", "cookies"} <= cols
+    rows = log.collect()
+    assert all(r["method"] == "GET" for r in rows)
+    for r in rows:
+        # duration consistency + timeout bound (scraper.go:92-99)
+        ms = (r["end_at"] - r["start_at"]).total_seconds() * 1000
+        assert round(ms) == r["duration_ms"]
+        assert 50 <= r["duration_ms"] < 30_000
+        assert r["headers"]["DNT"] == "1" and "Accept" in r["headers"]
+        assert r["user_agent"].startswith("Mozilla/5.0")
+        assert r["cookies"] == {}
+    # timing is a pure function of (url, round): same url+round -> same
+    # start_at across OnResponse/OnError and across reruns
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r["url"], r["round"]), set()).add(r["start_at"])
+    assert all(len(v) == 1 for v in by_key.values())
 
 
 def test_resume_from_checkpoint(spark, tmp_path, corpus, golden):

@@ -112,6 +112,86 @@ def test_catalog_merge_upsert(spark, tmp_path):
     assert rows == {1: "a", 2: "B", 3: "C"}
 
 
+def test_catalog_bucket_delta_merge(spark, tmp_path):
+    """An upsert touching one bucket must rewrite ONLY that bucket: the
+    other buckets' parquet files are carried forward in the manifest
+    byte-identically (the Iceberg MERGE file-rewrite shape; VERDICT r1
+    scale fix #4)."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.tables.catalog import BUCKET_COL, bucket_of
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    base = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(40)], "id string, v string"
+    ).withColumn(BUCKET_COL, bucket_of(F.col("id"), 4))
+    cat.overwrite("t", base, partition_by=BUCKET_COL)
+
+    def bucket_files():
+        out = {}
+        for man_dir in ({e if isinstance(e, str) else e["root"]
+                         for e in cat._manifest("t", cat.current_snapshot("t"))["dirs"]}):
+            for p in glob.glob(os.path.join(man_dir, f"{BUCKET_COL}=*", "*.parquet")):
+                b = int(p.split(f"{BUCKET_COL}=")[1].split(os.sep)[0])
+                with open(p, "rb") as f:
+                    out.setdefault(b, []).append((p, hashlib.md5(f.read()).hexdigest()))
+        return out
+
+    before = bucket_files()
+    # one update row -> exactly one touched bucket
+    upd = spark.createDataFrame([("k1", "V1-new")], "id string, v string").withColumn(
+        BUCKET_COL, bucket_of(F.col("id"), 4)
+    )
+    touched = upd.collect()[0][BUCKET_COL]
+    snap = cat.merge_upsert("t", upd, "id", partition_by=BUCKET_COL)
+    assert cat._manifest("t", snap)["op"] == "merge-delta"
+    after = bucket_files()
+    for b in before:
+        if b == touched:
+            assert sorted(after[b]) != sorted(before[b])  # rewritten
+        else:
+            assert sorted(after[b]) == sorted(before[b])  # same paths+bytes
+    # semantics unchanged
+    rows = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert rows["k1"] == "V1-new" and rows["k0"] == "v0" and len(rows) == 40
+    # rollback across a delta manifest still works
+    cat.rollback("t", 1)
+    assert {r["v"] for r in cat.read("t").filter("id='k1'").collect()} == {"v1"}
+
+
+def test_catalog_bucket_delta_appends_then_merge(spark, tmp_path):
+    """Delta merge over a multi-root history (overwrite + appends), plus
+    fallback to full rewrite when a root is unbucketed."""
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.tables.catalog import BUCKET_COL, bucket_of
+
+    def bk(df):
+        return df.withColumn(BUCKET_COL, bucket_of(F.col("id"), 4))
+
+    cat = SnapshotCatalog(str(tmp_path / "a"), spark)
+    cat.overwrite("t", bk(spark.createDataFrame([("a", 1), ("b", 2)], "id string, n int")),
+                  partition_by=BUCKET_COL)
+    cat.append("t", bk(spark.createDataFrame([("c", 3), ("d", 4)], "id string, n int")),
+               partition_by=BUCKET_COL)
+    cat.merge_upsert("t", bk(spark.createDataFrame([("c", 30), ("e", 50)], "id string, n int")),
+                     "id", partition_by=BUCKET_COL)
+    rows = {r["id"]: r["n"] for r in cat.read("t").collect()}
+    assert rows == {"a": 1, "b": 2, "c": 30, "d": 4, "e": 50}
+
+    # unbucketed history -> silent fallback to the full-rewrite merge
+    cat2 = SnapshotCatalog(str(tmp_path / "b"), spark)
+    cat2.overwrite("t", spark.createDataFrame([("a", 1)], "id string, n int"))
+    cat2.merge_upsert("t", bk(spark.createDataFrame([("a", 10)], "id string, n int")),
+                      "id", partition_by=BUCKET_COL)
+    assert {r["n"] for r in cat2.read("t").collect()} == {10}
+
+
 def test_rlike_matches_python_re_on_admission_patterns(spark):
     """java_safe profiles evaluate F2 via Java rlike; pin Java == RE2/Python
     on the admission patterns over corpus + adversarial URLs."""

@@ -137,6 +137,67 @@ def test_embedding_ann(spark):
     assert ivf_got == got  # probing all cells must equal brute force
 
 
+def test_ivf_kmeans_and_index(spark, tmp_path):
+    """Lloyd refinement must not worsen the quantization objective, IVF
+    with refined centroids at nprobe=all stays exact, and the bucketed
+    cell index prunes partitions on read."""
+    import numpy as np
+
+    from gocrawler_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        deterministic_centroids,
+        ivf_assign,
+        ivf_read_cells,
+        ivf_topk,
+        ivf_write_index,
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    # 4 well-separated clusters of 15 vectors
+    rows = []
+    for c in range(4):
+        center = rng.randn(64) * 3
+        for j in range(15):
+            v = center + rng.randn(64) * 0.3
+            rows.append((c * 15 + j, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def objective(cents):
+        a = ivf_assign(emb, cents)
+        joined = a.join(cents, "centroid_id")
+        from gocrawler_spark.operators.similarity import _dot, _norm
+
+        sim = _dot(F.col("embedding"), F.col("centroid")) / (
+            _norm(F.col("embedding")) * _norm(F.col("centroid"))
+        )
+        return joined.select(F.avg(sim).alias("o")).collect()[0]["o"]
+
+    init = deterministic_centroids(emb, 4)
+    refined = kmeans_centroids(emb, 4, iters=3)
+    assert objective(refined) >= objective(init) - 1e-9
+
+    queries = emb.filter("vec_id IN (0, 20, 40)").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    bf = {(r["q_id"], r["rank"]): r["vec_id"]
+          for r in cosine_topk_bruteforce(emb, queries, k=3).collect()}
+    assigned = ivf_assign(emb, refined)
+    ivf = {(r["q_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk(assigned, refined, queries, k=3, nprobe=4).collect()}
+    assert ivf == bf  # nprobe=all cells == exact
+
+    # bucketed index write + partition-pruned read
+    idx = str(tmp_path / "ivf_index")
+    ivf_write_index(assigned, idx)
+    cells = {r["centroid_id"] for r in assigned.select("centroid_id").distinct().collect()}
+    probe = sorted(cells)[:2]
+    sub = ivf_read_cells(spark, idx, probe)
+    assert {r["centroid_id"] for r in sub.collect()} == set(probe)
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
 def test_embedding_cosine_dups(spark):
     import numpy as np
 
