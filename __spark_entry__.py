@@ -634,6 +634,25 @@ def q34(spark, sf):
     return cat.read("items").select("id", "name", "brand", "price_cents", "source_store", "url")
 
 
+@_q("q45_crawl_metrics")
+def q45(spark, sf):
+    # S8/S10/A1/A2 — per-round metrics from the checkpoint rows (the log
+    # sink's analytic content): visitsCount / loop counters / seen total
+    cat = _run_crawl(spark, sf, max_rounds=2)
+    ck = cat.read("checkpoints_run")
+    ms = F.from_json(
+        "metrics",
+        "round int, fetched int, errors int, new_candidates int, "
+        "items_upserted int, seen_total long",
+    )
+    return (
+        ck.filter(F.col("round") > 0)
+        .select("round", ms.alias("m"))
+        .select("round", "m.fetched", "m.errors", "m.new_candidates",
+                "m.items_upserted", "m.seen_total")
+    )
+
+
 @_q("q35_image_features")
 def q35(spark, sf):
     from gocrawler_spark.operators.multimodal import image_features, synthetic_media

@@ -142,6 +142,7 @@ class CrawlJob:
         self.run_id = run_id
         self._robots_df: DataFrame | None = None
         self._seen_count: int = 0
+        self._round_caches: list[DataFrame] = []
 
     # ---------------------------------------------------------------- setup
     def _ckpt_table(self) -> str:
@@ -198,17 +199,22 @@ class CrawlJob:
         per group / per priority (tiny windows). No collect anywhere.
         """
         k = self.cfg.seq_prefix_len
+        # cached: the counts subtree feeds three branches (within-group
+        # window, group totals, final join) — without the cache each
+        # branch re-aggregates fetch_set
         counts = (
             fetch_set.groupBy("priority", "host")
             .agg(F.count("*").alias("_cnt"))
             .withColumn("_grp", F.substring("host", 1, k))
+            .cache()
         )
+        self._round_caches.append(counts)
         w_in = (
             Window.partitionBy("priority", "_grp")
             .orderBy("host")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        counts = counts.withColumn(
+        within = counts.withColumn(
             "_within", F.coalesce(F.sum("_cnt").over(w_in), F.lit(0))
         )
         grp_tot = counts.groupBy("priority", "_grp").agg(F.sum("_cnt").alias("_gtot"))
@@ -231,7 +237,7 @@ class CrawlJob:
             .agg(F.coalesce(F.sum("_ptot"), F.lit(0)).alias("_poff"))
         )
         off = (
-            counts.join(grp_off.select("priority", "_grp", "_goff"), ["priority", "_grp"])
+            within.join(grp_off.select("priority", "_grp", "_goff"), ["priority", "_grp"])
             .join(prio_off.select("priority", "_poff"), "priority")
             .select(
                 "priority", "host",
@@ -273,6 +279,7 @@ class CrawlJob:
         if n_fetch == 0:
             sel.unpersist()
             fetch_set.unpersist()
+            self._drop_round_caches()
             return {"round": rnd, "fetched": 0, "done": True}
 
         # J2 fetch join — the pages scan reads only (url, html). Broadcast
@@ -368,7 +375,13 @@ class CrawlJob:
         fetch_set.unpersist()
         extracted.unpersist()
         new_rows.unpersist()
+        self._drop_round_caches()
         return metrics
+
+    def _drop_round_caches(self):
+        for df in self._round_caches:
+            df.unpersist()
+        self._round_caches.clear()
 
     # ------------------------------------------------------------ sub-commits
     def _commit_items(self, extracted: DataFrame) -> int:
