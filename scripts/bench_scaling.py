@@ -22,6 +22,9 @@ def run_at(cpus: int, sf_dir: str, frontier_n: int | None) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BENCH_ONLY"] = "schedule_dedupe"
+    # the 48M-row frontier at 16 task slots GC-thrashes a 24g heap; both
+    # legs run with the same sized heap so the comparison stays fair
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     if frontier_n:
         env["SPARK_GRAFT_FRONTIER_N"] = str(frontier_n)
     # pin the whole process tree (JVM incl. GC/JIT/netty threads + python
