@@ -405,6 +405,56 @@ def q21(spark, sf):
     return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.85, n=3)
 
 
+def _cluster_cte() -> str:
+    # connected components over the q21 near-dup pairs via a recursive
+    # CTE (min reachable vertex = component label)
+    pairs = _ORACLES["q21_ngram_jaccard"]
+    return (
+        f"WITH RECURSIVE prs AS ({pairs}), "
+        "edges AS (SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs), "
+        "reach(id, r) AS ("
+        " SELECT src, src FROM edges"
+        " UNION"
+        " SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id), "
+        "clusters AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)"
+    )
+
+
+@_q(
+    "q46_dedup_clusters",
+    _cluster_cte() + " SELECT id AS doc_id, cluster FROM clusters",
+)
+def q46(spark, sf):
+    # near-dup clustering: connected components over exact-Jaccard pairs
+    from gocrawler_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.85, n=3)
+    return connected_components(pairs).select(F.col("id").alias("doc_id"), "cluster")
+
+
+@_q(
+    "q47_dedup_canonical",
+    _cluster_cte() + " SELECT source, count(*) AS n_docs FROM documents "
+    "WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster) "
+    "GROUP BY source",
+)
+def q47(spark, sf):
+    # corpus after near-dup removal: keep the min-id member per cluster
+    from gocrawler_spark.operators.dedup import (
+        dedup_keep_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.85, n=3)
+    return dedup_keep_canonical(docs, pairs).groupBy("source").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
 @_q("q22_minhash_lsh")  # rows-only: xxhash64 signatures have no DuckDB twin
 def q22(spark, sf):
     from gocrawler_spark.operators.dedup import minhash_lsh_pairs

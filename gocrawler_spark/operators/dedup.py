@@ -139,6 +139,80 @@ def ngram_jaccard_pairs(
     return _verify_pairs_exact(cands, grams, sizes, threshold, id_col)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every vertex takes the smallest label among itself and
+    its neighbors until fixpoint. Returns (id, cluster) where cluster =
+    min doc id of the component.
+
+    Convergence is O(component diameter) joins — near-dup clusters are
+    shallow (dup chains, mirror farms), so a handful of iterations; each
+    iteration is one equi-join + groupBy on the edge list (shuffle on
+    vertex ids, skew-free). For adversarial long-chain graphs at 10^10
+    edges, swap in large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same DataFrame shape.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).cache()
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("_nl"))
+            .withColumnRenamed("dst", "id")
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("_nl", F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "_old"), "id")
+            .filter(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster"))
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus after near-dup removal: for each connected component of
+    ``pairs`` keep only the canonical (min-id) member; docs in no pair
+    survive untouched. The standard last step of a web-corpus dedup
+    pipeline (pairs from any of the blockers above)."""
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def _perm_params(num_perm: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) per permutation (odd multipliers)."""
     params = []

@@ -63,6 +63,29 @@ def test_ngram_jaccard_max_df_cap(spark):
     assert capped == uncapped
 
 
+def test_dedup_clusters_and_canonical(spark):
+    """Connected components over near-dup pairs: chains collapse to one
+    cluster labeled by the min id; canonical dedup keeps one doc per
+    cluster plus all unpaired docs."""
+    from gocrawler_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_canonical,
+    )
+
+    # components: {1,2,3,4 via chain}, {7,9}, singletons untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 7)], "a long, b long"
+    )
+    cc = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 4, 5, 7, 9)], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in dedup_keep_canonical(docs, pairs).collect()}
+    assert kept == {1, 5, 7}
+
+
 def test_minhash_lsh_agrees_with_exact(spark, docs):
     from gocrawler_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
