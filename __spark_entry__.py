@@ -719,6 +719,27 @@ def q36(spark, sf):
     return frame_sample(media).select("media_id", "frame_idx", "frame_ts_ms")
 
 
+@_q("q48_audio_features")
+def q48(spark, sf):
+    from gocrawler_spark.operators.multimodal import audio_features, synthetic_media
+
+    media = synthetic_media(spark, 64).filter("mime = 'audio/ogg'")
+    return audio_features(media).select(
+        "media_id", "n_bytes", "duration_ms", "rms_level"
+    )
+
+
+@_q("q49_image_resize")
+def q49(spark, sf):
+    from gocrawler_spark.operators.multimodal import image_resize, synthetic_media
+
+    media = synthetic_media(spark, 64).filter("mime LIKE 'image/%'")
+    resized = image_resize(media, 224, 224)
+    return resized.select(
+        "media_id", "width", "height", F.length("payload").alias("n_bytes")
+    )
+
+
 @_q(
     "q37_bloom_prefilter",
     # semantics are exact (bloom is a prefilter only): candidates minus seen

@@ -128,12 +128,97 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, backend: str = "fake") 
     return media.select("media_id", "payload", "duration_ms").mapInPandas(run, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_level", DoubleType()),
+        StructField("mfcc", ArrayType(DoubleType())),
+    ]
+)
+
+
+def image_resize(media: DataFrame, width: int = 224, height: int = 224,
+                 backend: str = "fake") -> DataFrame:
+    """Resize image payloads (the training-pipeline normalize step).
+    Fake backend: output payload is a deterministic digest chain sized
+    proportionally to the target area, so downstream size accounting is
+    exercised; a real deployment decodes+resizes at the marked point."""
+    if backend != "fake":
+        raise NotImplementedError(
+            "swap the digest stand-in for Pillow Image.open(...).resize() here"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_len = max(32, (width * height) // 2048)
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                block = hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
+                payloads.append((block * (out_len // len(block) + 1))[:out_len])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "mime", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def audio_features(media: DataFrame, n_mfcc: int = 13, backend: str = "fake") -> DataFrame:
+    """Audio decode + feature extraction (loudness + MFCC-shaped
+    embedding). Fake backend derives deterministic statistics from the
+    payload digest; a real deployment swaps in librosa/torchaudio at
+    the marked point — schema, batching, and partitioning unchanged."""
+    if backend != "fake":
+        raise NotImplementedError(
+            "swap _fake audio stats for librosa.load + librosa.feature.mfcc here"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms, mfccs = [], []
+            for p in pdf["payload"]:
+                dig = hashlib.sha256(bytes(p) + b"/audio").digest()
+                arr = np.frombuffer(dig, dtype=np.uint8).astype(np.float64) / 255.0
+                rms.append(round(float(np.sqrt((arr**2).mean())), 6))
+                mfccs.append((arr[:n_mfcc] * 2 - 1).round(6).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "duration_ms": pdf["duration_ms"].astype("int64"),
+                    "rms_level": rms,
+                    "mfcc": mfccs,
+                }
+            )
+
+    return media.select("media_id", "payload", "duration_ms").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/benches."""
     rows = []
     for i in range(n):
         payload = hashlib.sha256(f"media/{i}".encode()).digest() * (1 + i % 7)
-        mime = ["image/jpeg", "image/png", "video/mp4"][i % 3]
-        dur = 5000 + (i * 997) % 20000 if mime.startswith("video") else 0
+        mime = ["image/jpeg", "image/png", "video/mp4", "audio/ogg"][i % 4]
+        dur = 5000 + (i * 997) % 20000 if mime.split("/")[0] in ("video", "audio") else 0
         rows.append((f"m{i:05d}", mime, payload, 640, 480, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -68,6 +68,49 @@ def frontier_ingest_batch(
     rows.unpersist()
 
 
+def host_budget_admit(stream_df: DataFrame, budget_per_host: int) -> DataFrame:
+    """Custom stateful streaming operator: a per-host crawl budget
+    enforced ACROSS micro-batches via ``applyInPandasWithState``.
+
+    colly's LimitRule caps in-flight requests per domain within one
+    process (scraper.go:101-105); the batch crawl's politeness window
+    (O3) caps per round. This is the streaming third form: keyed state
+    (urls already admitted per host) persists in the streaming
+    checkpoint, so a host that exhausts its budget stays closed in
+    every later batch — including across query restarts. Input:
+    streaming (url, host); output: (url, host, rank) with rank the
+    1-based cumulative admission index per host."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def admit(key, pdfs, state: "GroupState"):
+        (host,) = key
+        used = state.get[0] if state.exists else 0
+        urls: list[str] = []
+        for pdf in pdfs:
+            urls.extend(pdf["url"].tolist())
+        urls = sorted(set(urls))  # deterministic within-batch order
+        take = max(0, budget_per_host - used)
+        out = urls[:take]
+        state.update((used + len(out),))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "url": out,
+                    "host": host,
+                    "rank": [used + i + 1 for i in range(len(out))],
+                }
+            )
+
+    return stream_df.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType="url string, host string, rank long",
+        stateStructType="used long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_frontier_ingest(
     stream_df: DataFrame,
     catalog: SnapshotCatalog,

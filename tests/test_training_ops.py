@@ -370,6 +370,34 @@ def test_multimodal_plumbing(spark):
         image_features(media, backend="pillow").collect()
 
 
+def test_multimodal_audio_and_resize(spark):
+    from gocrawler_spark.operators.multimodal import (
+        audio_features,
+        image_resize,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 32)
+    audio = audio_features(media.filter("mime = 'audio/ogg'")).collect()
+    assert len(audio) == 8
+    assert all(len(r["mfcc"]) == 13 and 0.0 <= r["rms_level"] <= 1.0 for r in audio)
+    assert all(r["duration_ms"] > 0 for r in audio)
+    # determinism across runs
+    again = {r["media_id"]: r["rms_level"]
+             for r in audio_features(media.filter("mime = 'audio/ogg'")).collect()}
+    assert all(again[r["media_id"]] == r["rms_level"] for r in audio)
+
+    resized = image_resize(media.filter("mime LIKE 'image/%'"), 224, 224).collect()
+    assert len(resized) == 16
+    assert all(r["width"] == 224 and r["height"] == 224 for r in resized)
+    assert len({len(r["payload"]) for r in resized}) == 1  # fixed target size
+
+    with pytest.raises(NotImplementedError):
+        audio_features(media, backend="librosa").collect()
+    with pytest.raises(NotImplementedError):
+        image_resize(media, backend="pillow").collect()
+
+
 def test_streaming_frontier_ingest(spark, tmp_path):
     from gocrawler_spark.datagen import crawl_corpus
     from gocrawler_spark.streaming.microbatch import frontier_ingest_batch
@@ -392,6 +420,53 @@ def test_streaming_frontier_ingest(spark, tmp_path):
     frontier_ingest_batch(batch1, 1, cat, profile, rdf)
     assert cat.read("frontier").count() == 2
     assert cat.read("seen").count() == 2
+
+
+def test_streaming_host_budget_state(spark, tmp_path):
+    """applyInPandasWithState: per-host budget persists across batches
+    AND across query restarts (state lives in the checkpoint)."""
+    import json
+    import os
+
+    from gocrawler_spark.streaming.microbatch import host_budget_admit
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    with open(src / "b1.json", "w") as f:
+        for u in ("a/1", "a/2", "a/3", "b/1"):
+            host, _ = u.split("/")
+            f.write(json.dumps({"url": u, "host": host}) + "\n")
+
+    collected = []
+
+    def sink(df, bid):
+        collected.extend((r["url"], r["rank"]) for r in df.collect())
+
+    def drain():
+        stream = spark.readStream.schema("url string, host string").json(str(src))
+        q = (
+            host_budget_admit(stream, budget_per_host=2)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # host a: budget 2 -> first two urls; host b: 1 of 2
+    assert sorted(collected) == [("a/1", 1), ("a/2", 2), ("b/1", 1)]
+
+    # second file arrives; a is exhausted, b has one credit left —
+    # state survives the restart via the checkpoint
+    collected.clear()
+    with open(src / "b2.json", "w") as f:
+        for u in ("a/4", "b/2", "b/3"):
+            host, _ = u.split("/")
+            f.write(json.dumps({"url": u, "host": host}) + "\n")
+    drain()
+    assert sorted(collected) == [("b/2", 2)]
 
 
 def test_streaming_readstream_ingest(spark, tmp_path):
