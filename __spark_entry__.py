@@ -405,6 +405,30 @@ def q21(spark, sf):
     return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.85, n=3)
 
 
+@_q(
+    "q50_url_normalize",
+    # E2/E12 + normalize_candidates: request id, host, path from a
+    # crawl-shaped url — parse_url vs the RFC-shaped regex twins
+    "SELECT doc_id, md5(url) AS url_hash, "
+    "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, "
+    "regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path FROM ("
+    " SELECT doc_id, printf('https://shop%03d.example/Mixup/detproducto.aspx?sku=%d',"
+    " cast(doc_id % 20 AS int), cast(doc_id AS int)) AS url FROM documents)",
+)
+def q50(spark, sf):
+    from gocrawler_spark.operators.frontier import normalize_candidates
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.format_string(
+            "https://shop%03d.example/Mixup/detproducto.aspx?sku=%d",
+            F.pmod(F.col("doc_id"), F.lit(20)).cast("int"),
+            F.col("doc_id").cast("int"),
+        ).alias("url"),
+    )
+    return normalize_candidates(d).select("doc_id", "url_hash", "host", "path")
+
+
 def _cluster_cte() -> str:
     # connected components over the q21 near-dup pairs via a recursive
     # CTE (min reachable vertex = component label)

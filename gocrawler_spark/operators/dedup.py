@@ -150,50 +150,74 @@ def connected_components(
     its neighbors until fixpoint. Returns (id, cluster) where cluster =
     min doc id of the component.
 
-    Convergence is O(component diameter) joins — near-dup clusters are
-    shallow (dup chains, mirror farms), so a handful of iterations; each
-    iteration is one equi-join + groupBy on the edge list (shuffle on
-    vertex ids, skew-free). For adversarial long-chain graphs at 10^10
-    edges, swap in large-star/small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — same DataFrame shape.
+    Each iteration combines neighbor-min propagation (one equi-join +
+    groupBy on the edge list, shuffle on vertex ids, skew-free) with a
+    pointer-jumping contraction (label := label of label), giving
+    O(log diameter) convergence — a 2^30-long chain converges inside
+    the default iteration budget. Raises if the budget is exhausted
+    before fixpoint rather than returning silently-wrong labels. For
+    10^10-edge graphs the same loop applies with edges/labels as
+    bucketed tables (cf. large-star/small-star, Kiveris et al.,
+    "Connected Components in MapReduce and Beyond").
     """
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # localCheckpoint (not cache): iterative DataFrames must TRUNCATE
+    # lineage each round or Catalyst re-analyzes an ever-deeper nested
+    # plan and iteration time explodes. Local checkpoints are
+    # executor-resident; a multi-hour cluster job would use
+    # spark.sparkContext.setCheckpointDir + .checkpoint() instead.
     edges = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).cache()
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    # labels are monotone non-increasing, so the exact label sum
+    # strictly decreases until fixpoint — one agg per iteration replaces
+    # a join-based change detector (decimal: no int64 overflow at any n)
+    def label_sum(df):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = label_sum(labels)
+    converged = False
     for _ in range(max_iters):
+        # neighbor-min: smallest label among my neighbors
         prop = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.min("label").alias("_nl"))
             .withColumnRenamed("dst", "id")
         )
-        new_labels = (
-            labels.join(prop, "id", "left")
+        stepped = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("_nl", F.col("label"))).alias("label"),
+        )
+        # pointer jump: my label's current label (halves chain depth)
+        jump = labels.select(F.col("id").alias("_lid"), F.col("label").alias("_ll"))
+        labels = (
+            stepped.join(jump, stepped["label"] == jump["_lid"], "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("_nl", F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias("label"),
             )
-            .cache()
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "_old"), "id")
-            .filter(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        cur = label_sum(labels)
+        if cur == prev:
+            converged = True
             break
-    edges.unpersist()
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster"))
 
 

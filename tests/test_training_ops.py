@@ -86,6 +86,47 @@ def test_dedup_clusters_and_canonical(spark):
     assert kept == {1, 5, 7}
 
 
+def test_connected_components_random_graphs(spark):
+    """Min-label propagation vs a pure-Python union-find oracle on
+    seeded random graphs (incl. long chains that need many hops)."""
+    import random
+
+    from gocrawler_spark.operators.dedup import connected_components
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonicalize to min member per component
+        comp = {}
+        for v in list(parent):
+            comp.setdefault(find(v), []).append(v)
+        return {v: min(members) for r, members in comp.items() for v in members}
+
+    rng = random.Random(42)
+    cases = [
+        [(i, i + 1) for i in range(25)],  # one 26-node chain (deep)
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(40)],
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(80)],
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = union_find_labels(edges)
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        got = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+        assert got == expected
+
+
 def test_minhash_lsh_agrees_with_exact(spark, docs):
     from gocrawler_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
