@@ -743,6 +743,19 @@ def q36(spark, sf):
     return frame_sample(media).select("media_id", "frame_idx", "frame_ts_ms")
 
 
+@_q("q51_proxy_list_source")
+def q51(spark, sf):
+    # S11 — proxy-list scrape source (switcher.go:75-146): fetch (pages
+    # row) + table extraction, the last SURVEY §2.1 row
+    from gocrawler_spark.datagen import PROXY_LIST_HTML, PROXY_LIST_URL
+    from gocrawler_spark.operators.extraction import proxy_list_rows
+
+    pages = spark.createDataFrame(
+        [(PROXY_LIST_URL, PROXY_LIST_HTML.encode())], "url string, html binary"
+    )
+    return proxy_list_rows(pages)
+
+
 @_q("q48_audio_features")
 def q48(spark, sf):
     from gocrawler_spark.operators.multimodal import audio_features, synthetic_media

@@ -468,3 +468,23 @@ def parity_pages():
         (AMAZON_PRODUCT_URL, AMAZON_PRODUCT_HTML, AMAZON),
         (AMAZON_CAPTCHA_URL, AMAZON_CAPTCHA_HTML, AMAZON),
     ]
+
+
+PROXY_LIST_URL = "https://free-proxy-list.example/"
+PROXY_LIST_HTML = """<html><body>
+<table id="proxylisttable" class="table">
+  <thead><tr><th>IP</th><th>Port</th><th>Code</th><th>Country</th>
+    <th>Anonymity</th><th>Google</th><th>Https</th></tr></thead>
+  <tbody>
+    <tr><td>10.0.0.1</td><td>8080</td><td>MX</td><td>Mexico</td>
+        <td>elite proxy</td><td>yes</td><td>Yes</td></tr>
+    <tr><td>10.0.0.2</td><td>3128</td><td>US</td><td>United States</td>
+        <td>anonymous</td><td>No</td><td>no</td></tr>
+    <tr><td>10.0.0.3</td><td> 80 </td><td>DE</td><td>Germany</td>
+        <td>transparent</td><td>nope</td><td>YES</td></tr>
+    <tr><td>10.0.0.4</td><td>65535</td></tr>
+  </tbody>
+</table>
+<table id="othertable"><tbody><tr><td>1.2.3.4</td><td>9</td><td>X</td>
+<td>Y</td><td>Z</td><td>yes</td><td>yes</td></tr></tbody></table>
+</body></html>"""

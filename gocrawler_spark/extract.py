@@ -18,6 +18,8 @@ Reference call graph (per page, colly OnHTML registration order,
 
 from __future__ import annotations
 
+import re as _re
+
 from . import gofuncs as go
 from .htmlmini import Sel, parse_html
 from .profiles import SiteProfile
@@ -279,4 +281,39 @@ def extract_page(url: str, html, profile: SiteProfile) -> dict:
         out["item"] = _amazon_product(dom, url, profile)
     else:
         out["item"] = _mixup_product(dom, url, profile)
+    return out
+
+
+def extract_proxy_list(html) -> list[dict]:
+    """S11 — proxy-list table extraction (switcher.go:118-142).
+
+    Rows of ``table#proxylisttable tbody tr``; per row the ``td`` texts
+    map to [ip, port, code, country, anonymity, google, https]
+    (ChildrenFiltered("td").Map, switcher.go:120-127). Port uses
+    strconv.Atoi with the error ignored — zero-value 0 on junk
+    (switcher.go:128); google/ssl compare lowercased text to "yes"
+    (switcher.go:129-130). Rows with fewer than 7 cells would panic the
+    reference (index out of range); here they are skipped.
+    """
+    dom = parse_html(html)
+    out = []
+    for row in Sel([dom]).find("table#proxylisttable tbody tr"):
+        cells = [c.node.text() for c in row.children_filtered("td")]
+        if len(cells) < 7:
+            continue
+        # strconv.Atoi: optional sign + digits only, NO trimming; on
+        # error the reference ignores err and keeps the 0 zero-value
+        # (switcher.go:128)
+        port = int(cells[1]) if _re.fullmatch(r"[+-]?[0-9]+", cells[1]) else 0
+        out.append(
+            {
+                "ip": cells[0],
+                "port": port,
+                "code": cells[2],
+                "country": cells[3],
+                "anonymity": cells[4],
+                "google": cells[5].lower() == "yes",
+                "ssl": cells[6].lower() == "yes",
+            }
+        )
     return out

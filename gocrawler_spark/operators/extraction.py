@@ -132,3 +132,37 @@ def extract_fetched(fetched: DataFrame, profile: SiteProfile) -> DataFrame:
 
     cols = ["url", "url_hash", "host", "depth", "priority", "fetch_rank", "html"]
     return fetched.select(*cols).mapInPandas(run, EXTRACT_SCHEMA)
+
+
+PROXY_SCHEMA = StructType(
+    [
+        StructField("src_url", StringType()),
+        StructField("ip", StringType()),
+        StructField("port", IntegerType()),
+        StructField("code", StringType()),
+        StructField("country", StringType()),
+        StructField("anonymity", StringType()),
+        StructField("google", BooleanType()),
+        StructField("ssl", BooleanType()),
+    ]
+)
+
+
+def proxy_list_rows(pages: DataFrame) -> DataFrame:
+    """S11 — proxy-list scrape source (switcher.go:75-146), structurally
+    S2+E1: 'fetch' = the pages table, extraction = the proxylisttable
+    parse. One mapInPandas pass; html touched only here."""
+    from ..extract import extract_proxy_list
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for p in extract_proxy_list(bytes(html)):
+                    rows.append(
+                        (url, p["ip"], p["port"], p["code"], p["country"],
+                         p["anonymity"], p["google"], p["ssl"])
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in PROXY_SCHEMA.fields])
+
+    return pages.select("url", "html").mapInPandas(run, PROXY_SCHEMA)

@@ -178,3 +178,20 @@ def test_goquery_text_semantics():
     assert Sel([dom]).find("div").text() == "abcd"
     # selection of multiple nodes concatenates in selection order
     assert Sel([dom]).find("p, span").text() == "abd"
+
+
+def test_proxy_list_extract():
+    """S11 parity pins (switcher.go:118-142): td order, Atoi
+    no-trim zero-value, case-insensitive yes flags, short row skipped,
+    other tables ignored."""
+    from gocrawler_spark.datagen import PROXY_LIST_HTML
+    from gocrawler_spark.extract import extract_proxy_list
+
+    rows = extract_proxy_list(PROXY_LIST_HTML.encode())
+    assert [r["ip"] for r in rows] == ["10.0.0.1", "10.0.0.2", "10.0.0.3"]
+    assert rows[0] == {"ip": "10.0.0.1", "port": 8080, "code": "MX",
+                       "country": "Mexico", "anonymity": "elite proxy",
+                       "google": True, "ssl": True}
+    assert rows[1]["google"] is False and rows[1]["ssl"] is False
+    # ' 80 ' fails Go Atoi (no trimming) -> zero-value port
+    assert rows[2]["port"] == 0 and rows[2]["ssl"] is True
