@@ -274,13 +274,16 @@ class CrawlJob:
             sel = select_fetch_set(
                 frontier, cfg.credit_per_host, cfg.salt_parts
             ).cache()
-        fetch_set = self._assign_seq(sel.filter(F.col("is_selected"))).cache()
-        n_fetch = fetch_set.count()
+        selected = sel.filter(F.col("is_selected"))
+        # count BEFORE assigning seq: the drained final round skips the
+        # whole prefix-sum job tree (sel is cached; this is a cache scan)
+        n_fetch = selected.count()
         if n_fetch == 0:
             sel.unpersist()
-            fetch_set.unpersist()
             self._drop_round_caches()
             return {"round": rnd, "fetched": 0, "done": True}
+        fetch_set = self._assign_seq(selected).cache()
+        fetch_set.count()
 
         # J2 fetch join — the pages scan reads only (url, html). Broadcast
         # the fetch set only while it actually fits (size-gated: at 10^8
