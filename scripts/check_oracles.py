@@ -73,10 +73,19 @@ def main():
         try:
             res = con.sql(oracles[name])
             ocols = [c.lower() for c in res.columns]
+            otypes = [str(t).upper() for t in res.types]
             orows = res.fetchall()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"{name}: DUCKDB ERROR {str(e)[:200]}")
+            continue
+        # the driver's value hash is TYPED: DuckDB HUGEINT (e.g. a bare
+        # SUM(BIGINT)) hash-mismatches Spark BIGINT even when the values
+        # stringify identically — flag it here (round-1 q05/q06 lesson)
+        hugeints = [c for c, t in zip(res.columns, otypes) if "HUGEINT" in t]
+        if hugeints:
+            failures.append((name, f"ORACLE TYPE: HUGEINT column(s) {hugeints} — cast to BIGINT in the oracle SQL"))
+            print(f"{name}: ORACLE HUGEINT {hugeints}")
             continue
         sc, sm = df_multiset([c.lower() for c in scols], srows)
         oc, om = df_multiset(ocols, orows)
