@@ -743,6 +743,29 @@ def q36(spark, sf):
     return frame_sample(media).select("media_id", "frame_idx", "frame_ts_ms")
 
 
+@_q("q52_warc_source")
+def q52(spark, sf):
+    # WARC ingestion: documents rendered to a synthetic WARC file, read
+    # back distributed (lineSep record split + mapInPandas parse) into
+    # the pages shape the whole engine consumes
+    import tempfile
+
+    from gocrawler_spark.sources.warc import read_warc, warc_bytes
+
+    docs = _t(spark, sf, "documents").filter("doc_id < 50").collect()
+    records = [
+        {"url": f"https://warc.example/doc/{r['doc_id']}",
+         "html": f"<html><body>{r['text'][:200]}</body></html>",
+         "warc_date": "2021-01-01T00:00:00Z"}
+        for r in docs
+    ]
+    path = tempfile.mktemp(suffix=".warc", prefix="gocrawler_q52_")
+    with open(path, "wb") as f:
+        f.write(warc_bytes(records))
+    pages = read_warc(spark, path)
+    return pages.select("url", "http_status", "mime", F.length("html").alias("n_bytes"))
+
+
 @_q("q51_proxy_list_source")
 def q51(spark, sf):
     # S11 — proxy-list scrape source (switcher.go:75-146): fetch (pages

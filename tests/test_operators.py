@@ -267,3 +267,58 @@ def test_cuckoo_filter(spark):
     import pyspark.sql.functions as F
     fp = cuckoo_prefilter(other, "url", f).filter(F.col("maybe_seen")).count()
     assert fp / 3000 < 0.05  # 16-bit fingerprints -> tiny fp rate
+
+
+def test_warc_source_roundtrip(spark, tmp_path):
+    """WARC fixture -> distributed read -> pages shape; non-response and
+    malformed records dropped; html bytes and timestamps preserved."""
+    from gocrawler_spark.sources.warc import read_warc, warc_bytes
+
+    records = [
+        {"url": "https://a.example/p1", "html": "<html><body>uno</body></html>",
+         "warc_date": "2021-03-04T05:06:07Z"},
+        {"url": "https://a.example/robots.txt", "html": "User-agent: *",
+         "warc_type": "request"},  # dropped: not a response
+        {"url": "https://b.example/p2", "html": "<html>dos</html>",
+         "status": 404, "mime": "text/html; charset=utf-8"},
+    ]
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(warc_bytes(records) + b"WARC/1.0\r\nbroken-no-blank-line")
+    df = read_warc(spark, str(p))
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {"https://a.example/p1", "https://b.example/p2"}
+    r1 = rows["https://a.example/p1"]
+    assert bytes(r1["html"]) == b"<html><body>uno</body></html>"
+    assert r1["warc_ts"].isoformat().startswith("2021-03-04T05:06:07")
+    assert r1["http_status"] == 200 and r1["mime"] == "text/html"
+    assert rows["https://b.example/p2"]["http_status"] == 404
+
+
+def test_bucketed_colocated_anti_join(spark, tmp_path):
+    """Equal bucket specs on both sides -> the seen anti-join plans with
+    NO hashpartitioning Exchange (the parquet stand-in for Iceberg's
+    storage-partitioned join)."""
+    from gocrawler_spark.tables.bucketed import colocated_anti_join, write_bucketed
+
+    cand = spark.createDataFrame(
+        [(f"h{i:04d}", i) for i in range(500)], "url_hash string, doc_id long"
+    )
+    seen = spark.createDataFrame(
+        [(f"h{i:04d}",) for i in range(0, 500, 2)], "url_hash string"
+    )
+    write_bucketed(cand, "t_cand_bkt", path=str(tmp_path / "cand"))
+    write_bucketed(seen, "t_seen_bkt", path=str(tmp_path / "seen"))
+    try:
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = colocated_anti_join(spark, "t_cand_bkt", "t_seen_bkt")
+            rows = {r["doc_id"] for r in out.collect()}
+            assert rows == set(range(1, 500, 2))
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "hashpartitioning" not in plan, plan[:2000]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cand_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_seen_bkt")
