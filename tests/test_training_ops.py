@@ -553,3 +553,54 @@ def test_streaming_readstream_ingest(spark, tmp_path):
     q2.awaitTermination(120)
     assert cat.read("frontier").count() == 3
     assert cat.read("seen").count() == 3
+
+
+def test_streaming_windowed_fetch_rate_watermark(spark, tmp_path):
+    """Watermarked tumbling windows: late-but-within-watermark rows
+    update their window, too-late rows are dropped (bounded state),
+    watermark persists across query restarts."""
+    import json
+    import os
+
+    from gocrawler_spark.streaming.windows import fetch_rate_windows
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+
+    emitted = []
+
+    def drain():
+        stream = spark.readStream.schema("ts timestamp, host string").json(str(src))
+        q = (
+            fetch_rate_windows(stream, window="1 minute", watermark="2 minutes")
+            .writeStream.foreachBatch(
+                lambda df, b: emitted.extend(
+                    (r["window_start"].strftime("%H:%M"), r["host"], r["fetches"])
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for ts, host in rows:
+                f.write(json.dumps({"ts": f"2021-01-01T{ts}", "host": host}) + "\n")
+
+    write("b1.json", [("10:00:10", "a"), ("10:00:40", "a"), ("10:05:00", "a")])
+    drain()
+    assert ("10:00", "a", 2) in emitted and ("10:05", "a", 1) in emitted
+    # watermark is now 10:05 - 2min = 10:03
+    emitted.clear()
+    write("b2.json", [
+        ("10:02:30", "a"),  # too late (window < watermark): dropped
+        ("10:03:30", "a"),  # late but within watermark: accepted
+        ("10:08:00", "a"),
+    ])
+    drain()
+    assert ("10:03", "a", 1) in emitted and ("10:08", "a", 1) in emitted
+    assert not any(w == "10:02" for w, _, _ in emitted)  # dropped row
