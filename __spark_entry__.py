@@ -759,8 +759,8 @@ def q52(spark, sf):
          "warc_date": "2021-01-01T00:00:00Z"}
         for r in docs
     ]
-    path = tempfile.mktemp(suffix=".warc", prefix="gocrawler_q52_")
-    with open(path, "wb") as f:
+    fd, path = tempfile.mkstemp(suffix=".warc", prefix="gocrawler_q52_")
+    with os.fdopen(fd, "wb") as f:
         f.write(warc_bytes(records))
     pages = read_warc(spark, path)
     return pages.select("url", "http_status", "mime", F.length("html").alias("n_bytes"))

@@ -302,9 +302,13 @@ def extract_proxy_list(html) -> list[dict]:
         if len(cells) < 7:
             continue
         # strconv.Atoi: optional sign + digits only, NO trimming; on
-        # error the reference ignores err and keeps the 0 zero-value
-        # (switcher.go:128)
-        port = int(cells[1]) if _re.fullmatch(r"[+-]?[0-9]+", cells[1]) else 0
+        # syntax error the reference ignores err and keeps the 0
+        # zero-value; on RANGE error Go returns the int64-clamped value
+        # (also kept, since err is ignored) — switcher.go:128
+        if _re.fullmatch(r"[+-]?[0-9]+", cells[1]):
+            port = min(max(int(cells[1]), -(2**63)), 2**63 - 1)
+        else:
+            port = 0
         out.append(
             {
                 "ip": cells[0],

@@ -423,10 +423,10 @@ def simhash_near_pairs(
     return simhash_pairs_from_hashes(sh, max_hamming, id_col=id_col)
 
 
-def _vec_dot(u, v):
-    return F.aggregate(
-        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+# cosine primitives shared with the ANN operators (one definition,
+# one place to grow numeric guards)
+from .similarity import _dot as _vec_dot  # noqa: E402
+from .similarity import _norm as _vec_norm  # noqa: E402
 
 
 def embedding_cosine_dups(
@@ -488,11 +488,10 @@ def embedding_cosine_dups(
         .select("a", "b", "va", "vb")
         .dropDuplicates(["a", "b"])  # a pair may collide in several bands
     )
-    norm = lambda v: F.sqrt(_vec_dot(v, v))  # noqa: E731
     return (
         cands.withColumn(
             "cosine",
-            F.round(_vec_dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))), 6),
+            F.round(_vec_dot(F.col("va"), F.col("vb")) / (_vec_norm(F.col("va")) * _vec_norm(F.col("vb"))), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")

@@ -138,7 +138,7 @@ PROXY_SCHEMA = StructType(
     [
         StructField("src_url", StringType()),
         StructField("ip", StringType()),
-        StructField("port", IntegerType()),
+        StructField("port", LongType()),  # Go int is 64-bit (Atoi clamp)
         StructField("code", StringType()),
         StructField("country", StringType()),
         StructField("anonymity", StringType()),

@@ -18,8 +18,15 @@ Scope honesty: this reader handles uncompressed, UTF-8-decodable WARCs
 (Spark's text source decodes UTF-8; real Common Crawl ships gzipped
 WARCs whose member-per-record gzip framing needs a binary splitter —
 at 100 TB you would point this same parse at a decompressing
-``binaryFile``/custom datasource). Records that are not ``response``
-type or are malformed are dropped, counted by the caller if needed.
+``binaryFile``/custom datasource). Two further limits of the lineSep
+split: a response body that itself contains the literal record marker
+``WARC/1.0\\r\\n`` is split mid-body (first fragment truncated, rest
+dropped as malformed) — the binary splitter above, which honors
+Content-Length, removes this too; and only the record-terminating
+``\\r\\n\\r\\n`` is stripped from bodies, so intentional trailing
+newlines inside a body cannot be told apart from the terminator's
+first CRLF. Records that are not ``response`` type or are malformed
+are dropped, counted by the caller if needed.
 """
 
 from __future__ import annotations
@@ -79,7 +86,10 @@ def _parse_record(rec: str) -> tuple | None:
         k, s, v = line.partition(":")
         if s and k.strip().lower() == "content-type":
             mime = v.strip()
-    return (url, date, wtype, status, mime, body.rstrip("\r\n"))
+    # strip exactly the record terminator (two CRLFs), not all newlines
+    if body.endswith("\r\n\r\n"):
+        body = body[:-4]
+    return (url, date, wtype, status, mime, body)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

@@ -75,11 +75,15 @@ def host_budget_admit(stream_df: DataFrame, budget_per_host: int) -> DataFrame:
     colly's LimitRule caps in-flight requests per domain within one
     process (scraper.go:101-105); the batch crawl's politeness window
     (O3) caps per round. This is the streaming third form: keyed state
-    (urls already admitted per host) persists in the streaming
-    checkpoint, so a host that exhausts its budget stays closed in
-    every later batch — including across query restarts. Input:
-    streaming (url, host); output: (url, host, rank) with rank the
-    1-based cumulative admission index per host."""
+    (the cumulative ADMITTED COUNT per host — a bounded counter, not a
+    url set) persists in the streaming checkpoint, so a host that
+    exhausts its budget stays closed in every later batch — including
+    across query restarts. A url replayed in a later batch is NOT
+    deduplicated here and consumes budget again: url-level dedup is the
+    seen-filter's job (F4), exactly as in the batch pipeline; keeping
+    the state a counter is what keeps it O(hosts) instead of O(urls).
+    Input: streaming (url, host); output: (url, host, rank) with rank
+    the 1-based cumulative admission index per host."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

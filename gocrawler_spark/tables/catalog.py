@@ -200,9 +200,13 @@ class SnapshotCatalog:
             if snap is not None:
                 return snap
         old = self.read(table)
+        strip_col = None
         if partition_by is not None and partition_by not in old.columns:
-            # unbucketed history: stay unbucketed (full rewrite)
-            updates = updates.drop(partition_by)
+            # unbucketed history: stay unbucketed (full rewrite). The
+            # partition column must survive until AFTER when_matched ran
+            # — callers' matched branches may select it from the update
+            # side — and is stripped from the merged result only then.
+            strip_col = partition_by
             partition_by = None
         upd_keys = updates.select(key).distinct()
         untouched = old.join(upd_keys, key, "left_anti")
@@ -211,6 +215,8 @@ class SnapshotCatalog:
         else:
             matched_old = old.join(upd_keys, key, "left_semi")
             merged = when_matched(matched_old, updates)
+        if strip_col is not None:
+            merged = merged.drop(strip_col)
         out = untouched.unionByName(merged)
         return self.overwrite(table, out, partition_by)
 

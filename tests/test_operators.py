@@ -322,3 +322,28 @@ def test_bucketed_colocated_anti_join(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cand_bkt")
         spark.sql("DROP TABLE IF EXISTS t_seen_bkt")
+
+
+def test_catalog_fallback_merge_with_bucket_selecting_when_matched(spark, tmp_path):
+    """Unbucketed history + a when_matched that selects the bucket
+    column from the update side (the items-table shape) must fall back
+    to a full rewrite without an unresolved-column crash."""
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.tables.catalog import BUCKET_COL, bucket_of
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    # legacy table: no bucket column on disk
+    cat.overwrite("t", spark.createDataFrame([("a", 1), ("b", 2)], "id string, n int"))
+    upd = spark.createDataFrame([("a", 10), ("c", 30)], "id string, n int").withColumn(
+        BUCKET_COL, bucket_of(F.col("id"), 4)
+    )
+
+    def when_matched(old, new):
+        # selects BUCKET_COL from the update side, like _commit_items
+        return new.select("id", (F.col("n") + 100).alias("n"), BUCKET_COL)
+
+    cat.merge_upsert("t", upd, "id", when_matched=when_matched, partition_by=BUCKET_COL)
+    rows = {r["id"]: r["n"] for r in cat.read("t").collect()}
+    assert rows == {"a": 110, "b": 2, "c": 130}
+    assert BUCKET_COL not in cat.read("t").columns  # stayed unbucketed
