@@ -347,3 +347,34 @@ def test_catalog_fallback_merge_with_bucket_selecting_when_matched(spark, tmp_pa
     rows = {r["id"]: r["n"] for r in cat.read("t").collect()}
     assert rows == {"a": 110, "b": 2, "c": 130}
     assert BUCKET_COL not in cat.read("t").columns  # stayed unbucketed
+
+
+def test_host_extraction_matches_parse_url(spark):
+    """The substring_index host fast path must agree with parse_url(HOST)
+    on adversarial URL shapes (ports, userinfo, no scheme, fragments)."""
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.operators.frontier import _host_of
+
+    urls = [
+        "https://shop001.example/Mixup/Home.aspx",
+        "https://h.example:8080/p?q=1",
+        "https://user:pw@h.example:8080/p",
+        "http://h.example",
+        "https://h.example/",
+        "https://h.example#frag",
+        "not-a-url",
+        "mailto:x@y.example",
+        "https://h.example/a//b//c",
+        "ftp://h.example/x",
+        "//h.example/protocol-relative",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        _host_of(F.col("url")).alias("fast"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("ref"),
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["ref"], (r["url"], r["fast"], r["ref"])
