@@ -461,6 +461,19 @@ AMAZON_CAPTCHA_HTML = """<html><body>
 </form></body></html>"""
 
 
+def robots_pages(spark, robots: list[dict]):
+    """Render rule rows into per-host ``/robots.txt`` page rows
+    (url, html) — the fetched-pages form the F5 parser consumes, so
+    entry() derives its rules table the way the reference does
+    (temoto/robotstxt parse of the fetched body) instead of being
+    handed a pre-made table."""
+    from .operators.robots_parse import render_robots_txt
+
+    bodies = render_robots_txt(robots)
+    rows = [(f"https://{h}/robots.txt", b.encode()) for h, b in sorted(bodies.items())]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
 def parity_pages():
     """(url, html, profile) triples for extractor unit tests."""
     return [

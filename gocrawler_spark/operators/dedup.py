@@ -98,24 +98,51 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    candidates: str = "prefix",
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (a < b), blocked on shared
-    ngrams: |A∩B| from a self-equi-join on ngram, |A|/|B| from per-doc
-    counts; pure relational, SQL-oracle-checkable.
+    """Exact n-gram Jaccard near-dup pairs (a < b): |A∩B| from an
+    equi-join on ngram, |A|/|B| from per-doc counts; pure relational,
+    SQL-oracle-checkable.
 
-    ``max_df`` caps the candidate-generation join by ngram document
-    frequency: shingles appearing in more than ``max_df`` docs (hot
-    stopword trigrams — the quadratic skew killer at corpus scale) are
-    excluded from the self-join ONLY; the Jaccard value for surviving
-    candidates is still computed over all ngrams, so reported
-    similarities are exact. Recall caveat: a pair whose shared ngrams
-    are ALL above the cap produces no candidate — near-dup pairs at
-    sane thresholds always share rare shingles, but for aggressive use
-    route through minhash_lsh_pairs. Default None = uncapped (exact
-    recall, fine below ~10^7 docs)."""
+    ``candidates`` picks the candidate-generation strategy; the Jaccard
+    values (and, for "prefix"/"all", the returned pair SET) are exact
+    regardless:
+
+    * "prefix" (default) — prefix filtering (Bayardo et al. All-Pairs /
+      PPJoin): order every doc's shingles by ascending global document
+      frequency and self-join only each doc's first
+      ``|x| − ⌈t·|x|⌉ + 1`` shingles. Guarantee: Jaccard(A,B) ≥ t ⟹
+      |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), and the smallest (in df order)
+      common shingle sits within both prefixes, so every qualifying
+      pair is generated — equality with "all" is mathematical, not
+      empirical (and pinned by test). Hot stopword shingles land at the
+      END of the df order, so the quadratic hot-key self-join the
+      uncapped path suffers at corpus scale is pruned by construction.
+      This is the 100 TB default.
+    * "all" — plain self-join on every shingle (the r1/r2 path); exact
+      but quadratic on hot shingles; fine below ~10^6 docs and used by
+      tests as the ground truth for "prefix".
+    * ``max_df`` (overrides ``candidates``) — drop shingles with
+      document frequency above the cap from candidate generation only;
+      similarity still exact, recall capped heuristically (a pair
+      sharing ONLY hot shingles is missed). Kept for pipelines that
+      want an explicit cost ceiling."""
     grams = token_ngrams(docs, n, text_col, id_col)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
-    if max_df is None:
+    if max_df is not None:
+        rare = grams.join(
+            grams.groupBy("ngram").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("ngram"),
+            "ngram",
+        )
+        a = rare.select(F.col(id_col).alias("a"), "ngram")
+        b = rare.select(F.col(id_col).alias("b"), "ngram")
+        cands = (
+            a.join(b, "ngram").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+        )
+        return _verify_pairs_exact(cands, grams, sizes, threshold, id_col)
+    if candidates == "all":
         a = grams.select(F.col(id_col).alias("a"), "ngram")
         b = grams.select(F.col(id_col).alias("b"), "ngram")
         inter = (
@@ -125,14 +152,20 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("inter"))
         )
         return _jaccard_from_inter(inter, sizes, threshold, id_col)
-    rare = grams.join(
-        grams.groupBy("ngram").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("ngram"),
-        "ngram",
+    if candidates != "prefix":
+        raise ValueError(f"unknown candidates strategy {candidates!r}")
+    dfreq = grams.groupBy("ngram").agg(F.count("*").alias("df"))
+    ranked = grams.join(dfreq, "ngram").join(sizes, id_col)
+    w = Window.partitionBy(id_col).orderBy("df", "ngram")
+    # the 1e-9 nudge keeps fp noise in t*sz from inflating the ceil and
+    # shortening the prefix below the guarantee (0.85*20 must ceil to
+    # 17, not 18)
+    prefix = ranked.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)) + 1
     )
-    a = rare.select(F.col(id_col).alias("a"), "ngram")
-    b = rare.select(F.col(id_col).alias("b"), "ngram")
+    a = prefix.select(F.col(id_col).alias("a"), "ngram")
+    b = prefix.select(F.col(id_col).alias("b"), "ngram")
     cands = (
         a.join(b, "ngram").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     )

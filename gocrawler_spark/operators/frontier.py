@@ -41,7 +41,13 @@ def _host_of(url):
     # an authority cannot contain '?' or '#': cut them off for URLs
     # where query/fragment follows the host with no path
     authority = F.substring_index(F.substring_index(authority, "?", 1), "#", 1)
-    host = F.substring_index(F.substring_index(authority, "@", -1), ":", 1)
+    no_user = F.substring_index(authority, "@", -1)
+    # bracketed IPv6 ('[::1]:8080') contains ':' inside the brackets —
+    # strip the port at ']' instead, keeping the brackets like parse_url
+    host = F.when(
+        no_user.startswith("["),
+        F.concat(F.substring_index(no_user, "]", 1), F.lit("]")),
+    ).otherwise(F.substring_index(no_user, ":", 1))
     # parse_url also resolves protocol-relative ('//host/...') URLs
     return F.when(url.contains("://") | url.startswith("//"), host)
 

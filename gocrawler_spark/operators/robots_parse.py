@@ -1,0 +1,166 @@
+"""robots.txt *parsing* — derive the F5 rules table from page bodies.
+
+The reference never ships a rules table: colly fetches ``/robots.txt``
+per host and parses it via temoto/robotstxt (go.mod:21, colly default
+``IgnoreRobotsTxt=false`` — scraper.go:79-88 builds collectors without
+disabling it). Round 1/2 consumed a pre-made ``robots_df``; this module
+closes that gap: given ``pages`` rows whose URLs end in ``/robots.txt``,
+it produces the exact (host, agent, rule, path_prefix, crawl_delay_ms)
+table ``robots_filter`` consumes.
+
+Semantics follow temoto/robotstxt (which follows the Google REP draft):
+
+* lines are ``field: value``; ``#`` starts a comment; unknown fields and
+  blank lines are ignored (blank lines do NOT terminate a group);
+* a run of consecutive ``User-agent`` lines opens a group; the group's
+  rules are every allow/disallow/crawl-delay line up to the next
+  User-agent run; rules before any User-agent line are ignored;
+* agent matching: ``*`` matches anything (match length 0); otherwise a
+  group matches when its agent token is a case-insensitive substring of
+  the caller's user-agent, with the LONGEST match winning; all groups
+  tied at the best length contribute rules;
+* an allow/disallow line with an empty path is a no-op (an empty
+  Disallow means "allow everything" — no restriction row);
+* ``Crawl-delay`` is seconds (fractional ok) → ``crawl_delay_ms``;
+  groups without one get 0.
+
+Plan shape: the whole parse is JVM-side — split/posexplode the body
+into lines, regexp the field/value, then two window passes per host
+(gaps-and-islands group ids + best-agent selection). No Python UDF: at
+10^10-URL scale robots bodies arrive as ordinary fetched pages and this
+parse is just another vectorized stage over them. Output cardinality is
+rules-per-host — tiny — so the result broadcasts into robots_filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .frontier import _host_of
+
+_FIELDS = ("user-agent", "allow", "disallow", "crawl-delay")
+
+
+def robots_directives(pages: DataFrame, url_col: str = "url",
+                      body_col: str = "html") -> DataFrame:
+    """pages rows -> one row per directive line:
+    (host, ln, field, value, is_ua). Bodies may be binary or string."""
+    body = F.col(body_col)
+    if dict(pages.dtypes)[body_col] == "binary":
+        body = F.decode(body, "utf-8")
+    lines = pages.select(
+        _host_of(F.col(url_col)).alias("host"),
+        F.posexplode(F.split(body, r"\r?\n")).alias("ln", "line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    dirs = (
+        lines.withColumn("clean", clean)
+        .filter(F.col("clean").rlike("^[^:]+:"))
+        .select(
+            "host",
+            "ln",
+            F.lower(F.trim(F.regexp_extract("clean", "^([^:]+):", 1))).alias("field"),
+            F.trim(F.regexp_extract("clean", "^[^:]+:(.*)$", 1)).alias("value"),
+        )
+        .filter(F.col("field").isin(*_FIELDS))
+    )
+    return dirs.withColumn("is_ua", F.col("field") == "user-agent")
+
+
+def parse_robots_pages(
+    pages: DataFrame,
+    user_agent: str = "*",
+    url_col: str = "url",
+    body_col: str = "html",
+) -> DataFrame:
+    """robots.txt page bodies -> the F5 rules table
+    (host, agent, rule, path_prefix, crawl_delay_ms).
+
+    ``user_agent`` is the crawler's UA string; each host contributes the
+    rules of its best-matching group(s) only, per the temoto semantics
+    in the module docstring."""
+    dirs = robots_directives(pages, url_col, body_col)
+
+    w = Window.partitionBy("host").orderBy("ln")
+    # gaps-and-islands: a UA line whose previous directive is not a UA
+    # line starts a new group; gid = running count of group starts
+    grouped = (
+        dirs.withColumn(
+            "_gs",
+            (F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))).cast("int"),
+        )
+        .withColumn("gid", F.sum("_gs").over(w))
+        .filter(F.col("gid") > 0)  # rules before any User-agent: ignored
+    )
+
+    # best-matching agent per group, then best groups per host
+    match_len = (
+        F.when(F.col("value") == "*", F.lit(0))
+        .when(
+            F.instr(F.lit(user_agent.lower()), F.lower(F.col("value"))) > 0,
+            F.length("value"),
+        )
+        .otherwise(F.lit(None).cast("int"))
+    )
+    agents = (
+        grouped.filter("is_ua")
+        .select("host", "gid", F.col("value").alias("agent"), match_len.alias("mlen"))
+        .filter(F.col("mlen").isNotNull())
+    )
+    ga = agents.groupBy("host", "gid").agg(
+        F.max("mlen").alias("gmlen"),
+        F.max_by("agent", "mlen").alias("agent"),
+    )
+    best = ga.withColumn(
+        "_best", F.max("gmlen").over(Window.partitionBy("host"))
+    ).filter(F.col("gmlen") == F.col("_best")).select("host", "gid", "agent")
+
+    delays = (
+        grouped.filter(F.col("field") == "crawl-delay")
+        .groupBy("host", "gid")
+        .agg(
+            F.round(F.min_by("value", "ln").cast("double") * 1000)
+            .cast("long")
+            .alias("crawl_delay_ms")
+        )
+    )
+    rules = (
+        grouped.filter(F.col("field").isin("allow", "disallow") & (F.col("value") != ""))
+        .select("host", "gid", F.col("field").alias("rule"), F.col("value").alias("path_prefix"))
+    )
+    return (
+        rules.join(best, ["host", "gid"])
+        .join(delays, ["host", "gid"], "left")
+        .select(
+            "host",
+            "agent",
+            "rule",
+            "path_prefix",
+            F.coalesce("crawl_delay_ms", F.lit(0)).cast("long").alias("crawl_delay_ms"),
+        )
+    )
+
+
+def render_robots_txt(rules: list[dict]) -> dict[str, str]:
+    """Inverse helper for fixtures/entry wiring: per-host robots.txt
+    bodies from (host, agent, rule, path_prefix, crawl_delay_ms) rows —
+    one group per (host, agent), rules in input order."""
+    by_host: dict[str, dict[str, list[dict]]] = {}
+    for r in rules:
+        by_host.setdefault(r["host"], {}).setdefault(r["agent"], []).append(r)
+    bodies = {}
+    for host, groups in by_host.items():
+        parts = []
+        for agent, rs in groups.items():
+            parts.append(f"User-agent: {agent}")
+            delay = None
+            for r in rs:
+                parts.append(f"{r['rule'].capitalize()}: {r['path_prefix']}")
+                if r.get("crawl_delay_ms"):
+                    delay = r["crawl_delay_ms"]
+            if delay is not None:
+                parts.append(f"Crawl-delay: {delay / 1000:g}")
+            parts.append("")
+        bodies[host] = "\n".join(parts)
+    return bodies

@@ -73,7 +73,7 @@ def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int,
     iters: int = 3,
-    dims: int = 64,
+    dims: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -85,7 +85,17 @@ def kmeans_centroids(
     array elements — no explode, no collect_list, one shuffle of
     n_centroids×dims floats per iteration. Empty cells keep their old
     centroid. This is the 100 TB-quality upgrade over the md5-pick
-    init: better-balanced cells mean fewer probes per query recall."""
+    init: better-balanced cells mean fewer probes per query recall.
+
+    ``dims`` defaults to the data's vector length (one first() probe —
+    metadata-scale); passing a mismatched value used to silently
+    truncate long vectors / null-pad short ones, so it is now asserted
+    against the data."""
+    data_dims = emb.select(F.size(vec_col)).first()[0]
+    if dims is None:
+        dims = data_dims
+    elif dims != data_dims:
+        raise ValueError(f"dims={dims} but {vec_col} vectors have size {data_dims}")
     cents = deterministic_centroids(emb, n_centroids, id_col, vec_col)
     for _ in range(iters):
         assigned = ivf_assign(emb, cents, vec_col, id_col)
@@ -142,6 +152,31 @@ def ivf_assign(
     return emb.withColumn("centroid_id", nearest(F.col(vec_col)))
 
 
+def ivf_probes(
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Per-query probe list: the ``nprobe`` nearest centroid cells
+    (q_id, _qv, centroid_id) — query-count × nprobe rows, always tiny."""
+    q = queries.select(F.col(q_id_col), F.col(vec_col).alias("_qv"))
+    cents = centroids.select("centroid_id", F.col("centroid").alias("_cv"))
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        q_id_col,
+        "_qv",
+        "centroid_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias("_csim"),
+    )
+    wq = Window.partitionBy(q_id_col).orderBy(F.col("_csim").desc(), F.col("centroid_id"))
+    return (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select(q_id_col, "_qv", "centroid_id")
+    )
+
+
 def ivf_topk(
     emb_assigned: DataFrame,
     centroids: DataFrame,
@@ -156,17 +191,7 @@ def ivf_topk(
     exact cosine within the probed cells, window top-k. Join keys are
     centroid_id (bounded cardinality, even cells) — never a cross join
     against the full corpus."""
-    q = queries.select(F.col(q_id_col), F.col(vec_col).alias("_qv"))
-    cents = centroids.select("centroid_id", F.col("centroid").alias("_cv"))
-    qc = q.crossJoin(F.broadcast(cents)).select(
-        q_id_col,
-        "_qv",
-        "centroid_id",
-        (_dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))).alias("_csim"),
-    )
-    wq = Window.partitionBy(q_id_col).orderBy(F.col("_csim").desc(), F.col("centroid_id"))
-    probes = qc.withColumn("_pr", F.row_number().over(wq)).filter(F.col("_pr") <= nprobe)
-
+    probes = ivf_probes(centroids, queries, nprobe, vec_col, q_id_col)
     cell = emb_assigned.select(F.col(id_col), F.col(vec_col).alias("_ev"), "centroid_id")
     scored = cell.join(F.broadcast(probes.select(q_id_col, "_qv", "centroid_id")), "centroid_id").select(
         q_id_col,
@@ -179,3 +204,27 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank", "cosine")
     )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """IVF ANN through the WRITTEN index: the union of all queries'
+    probed cell ids (≤ n_queries × nprobe ints — one metadata-scale
+    collect) becomes a partition filter on the ``ivf_write_index``
+    layout, so Spark's file listing prunes every unprobed cell before a
+    single byte of vector data is read — the pruning IS the index.
+    Same results as ``ivf_topk`` on the in-memory assignment (both
+    probe identical cells); plan-asserted in pytest."""
+    probes = ivf_probes(centroids, queries, nprobe, vec_col, q_id_col)
+    cell_ids = sorted(r["centroid_id"] for r in probes.select("centroid_id").distinct().collect())
+    cells = ivf_read_cells(spark, index_path, cell_ids)
+    return ivf_topk(cells, centroids, queries, k, nprobe, vec_col, id_col, q_id_col)

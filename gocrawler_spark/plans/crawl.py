@@ -177,11 +177,13 @@ class CrawlJob:
             F.col("priority").cast("int"),
             F.lit(0).alias("discovered_round"),
         ).withColumn(BUCKET_COL, bucket_of(F.col("url_hash"), self.cfg.n_buckets))
-        self.cat.overwrite("frontier", frontier, partition_by=BUCKET_COL)
+        self.cat.overwrite("frontier", frontier, partition_by=BUCKET_COL,
+                           bucket_spec=("url_hash", self.cfg.n_buckets))
         seen = frontier.select(
             "url_hash", "url", F.lit(0).alias("first_round"), BUCKET_COL
         )
-        self.cat.overwrite("seen", seen, partition_by=BUCKET_COL)
+        self.cat.overwrite("seen", seen, partition_by=BUCKET_COL,
+                           bucket_spec=("url_hash", self.cfg.n_buckets))
         self._seen_count = seen.count()
         self._checkpoint(round_no=0, metrics={"seeds": self._seen_count})
 
@@ -354,10 +356,12 @@ class CrawlJob:
         # ------------------------------------------------- state commits
         remainder = sel.filter(~F.col("is_selected")).select(*[f.name for f in FRONTIER_SCHEMA.fields], BUCKET_COL)
         frontier2 = remainder.unionByName(new_rows)
-        f_snap = self.cat.overwrite("frontier", frontier2, partition_by=BUCKET_COL)
+        f_snap = self.cat.overwrite("frontier", frontier2, partition_by=BUCKET_COL,
+                                    bucket_spec=("url_hash", cfg.n_buckets))
 
         seen_append = new_rows.select("url_hash", "url", F.lit(rnd).alias("first_round"), BUCKET_COL)
-        s_snap = self.cat.append("seen", seen_append, partition_by=BUCKET_COL)
+        s_snap = self.cat.append("seen", seen_append, partition_by=BUCKET_COL,
+                                 bucket_spec=("url_hash", cfg.n_buckets))
         self._seen_count += n_new
 
         n_items = self._commit_items(extracted)
@@ -446,7 +450,8 @@ class CrawlJob:
         # bucketed on md5 id -> bucket-delta MERGE rewrites only the
         # buckets this round touched (O(delta), not O(items table))
         self.cat.merge_upsert(
-            "items", batch, "id", when_matched=when_matched, partition_by=BUCKET_COL
+            "items", batch, "id", when_matched=when_matched, partition_by=BUCKET_COL,
+            bucket_spec=("id", self.cfg.n_buckets),
         )
         return n
 

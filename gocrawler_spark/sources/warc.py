@@ -14,19 +14,22 @@ driver-side parsing:
   date / type; the HTTP block after the first blank line → status,
   content-type, body).
 
-Scope honesty: this reader handles uncompressed, UTF-8-decodable WARCs
-(Spark's text source decodes UTF-8; real Common Crawl ships gzipped
-WARCs whose member-per-record gzip framing needs a binary splitter —
-at 100 TB you would point this same parse at a decompressing
-``binaryFile``/custom datasource). Two further limits of the lineSep
-split: a response body that itself contains the literal record marker
-``WARC/1.0\\r\\n`` is split mid-body (first fragment truncated, rest
-dropped as malformed) — the binary splitter above, which honors
-Content-Length, removes this too; and only the record-terminating
-``\\r\\n\\r\\n`` is stripped from bodies, so intentional trailing
-newlines inside a body cannot be told apart from the terminator's
-first CRLF. Records that are not ``response`` type or are malformed
-are dropped, counted by the caller if needed.
+Two readers:
+
+* :func:`read_warc` — the lineSep split above; intra-file parallelism
+  for big UNCOMPRESSED UTF-8 WARCs, but mis-splits a body containing
+  the literal record marker and cannot read gzip. Kept for the
+  huge-single-file case.
+* :func:`read_warc_binary` — the Common-Crawl-faithful reader: one
+  ``binaryFile`` row per ``*.warc``/``*.warc.gz`` file, records framed
+  by **Content-Length** (so embedded ``WARC/1.0`` markers in bodies are
+  fine) with transparent per-member (or whole-stream) gzip. Parallelism
+  is per FILE — exactly Common Crawl's unit (a crawl is ~10^4-10^5
+  ~1 GiB segment files, so a 1000-executor cluster saturates on file
+  granularity; per-member gzip framing makes intra-file splits
+  impossible for .gz anyway, which is why CC itself distributes work
+  per file). Records that are not ``response`` type or are malformed
+  are dropped, counted by the caller if needed.
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     StringType,
     StructField,
@@ -114,6 +118,119 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         "url",
         F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
         F.encode("html", "utf-8").alias("html"),
+        "http_status",
+        "mime",
+    )
+
+
+BINARY_WARC_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("mime", StringType()),
+        StructField("html", BinaryType()),
+    ]
+)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a stream of concatenated gzip members (Common Crawl's
+    one-member-per-record framing) — or pass non-gzip bytes through."""
+    import zlib
+
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out, buf = [], data
+    while buf[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)  # 16+15: gzip framing
+        out.append(d.decompress(buf))
+        out.append(d.flush())
+        rest = d.unused_data
+        if len(rest) >= len(buf):  # no progress: corrupt tail, stop
+            break
+        buf = rest
+    return b"".join(out)
+
+
+def _iter_binary_records(data: bytes):
+    """Yield (warc_headers: dict, block: bytes) framed by Content-Length
+    — the spec-correct split, immune to record markers inside bodies."""
+    i, n = 0, len(data)
+    while i < n:
+        j = data.find(b"WARC/", i)
+        if j < 0:
+            return
+        he = data.find(b"\r\n\r\n", j)
+        if he < 0:
+            return
+        headers = {}
+        for line in data[j:he].decode("utf-8", "replace").split("\r\n")[1:]:
+            k, s, v = line.partition(":")
+            if s:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            i = he + 4  # unframed record: resync on the next marker
+            continue
+        block = data[he + 4 : he + 4 + clen]
+        yield headers, block
+        i = he + 4 + clen
+
+
+def _parse_binary_record(headers: dict, block: bytes) -> tuple | None:
+    """(warc headers, Content-Length-framed block) -> WARC_SCHEMA row;
+    body stays bytes (charset-agnostic, like real crawl payloads)."""
+    wtype = headers.get("warc-type", "")
+    url = headers.get("warc-target-uri", "")
+    if wtype != "response" or not url:
+        return None
+    http_head, sep, body = block.partition(b"\r\n\r\n")
+    if not sep:
+        return None
+    status, mime = 0, ""
+    lines = http_head.decode("utf-8", "replace").split("\r\n")
+    if lines and lines[0].startswith("HTTP/"):
+        parts = lines[0].split(" ")
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    for line in lines[1:]:
+        k, s, v = line.partition(":")
+        if s and k.strip().lower() == "content-type":
+            mime = v.strip()
+    return (url, headers.get("warc-date", ""), wtype, status, mime, bytes(body))
+
+
+def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
+    """WARC/WARC.gz file(s) -> (url, warc_ts, html, http_status, mime)
+    pages, Content-Length-framed with transparent member gzip.
+
+    ``binaryFile`` yields one row per file; the parse runs inside
+    ``mapInPandas`` so a directory of crawl segments fans out one file
+    per task — Common Crawl's own distribution granularity (per-member
+    gzip cannot be split mid-file)."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                data = _gunzip_members(bytes(content))
+                for headers, block in _iter_binary_records(data):
+                    parsed = _parse_binary_record(headers, block)
+                    if parsed is not None:
+                        rows.append(parsed)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BINARY_WARC_SCHEMA.fields]
+            )
+
+    recs = raw.mapInPandas(run, BINARY_WARC_SCHEMA)
+    return recs.select(
+        "url",
+        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        "html",
         "http_status",
         "mime",
     )

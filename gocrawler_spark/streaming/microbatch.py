@@ -55,16 +55,20 @@ def frontier_ingest_batch(
         rows.unpersist()
         return
     if catalog.exists("frontier"):
-        catalog.merge_upsert("frontier", rows, "url_hash", partition_by=BUCKET_COL)
+        catalog.merge_upsert("frontier", rows, "url_hash", partition_by=BUCKET_COL,
+                             bucket_spec=("url_hash", n_buckets))
     else:
-        catalog.overwrite("frontier", rows, partition_by=BUCKET_COL)
+        catalog.overwrite("frontier", rows, partition_by=BUCKET_COL,
+                          bucket_spec=("url_hash", n_buckets))
     seen_rows = rows.select(
         "url_hash", "url", F.col("discovered_round").alias("first_round"), BUCKET_COL
     )
     if catalog.exists("seen"):
-        catalog.append("seen", seen_rows, partition_by=BUCKET_COL)
+        catalog.append("seen", seen_rows, partition_by=BUCKET_COL,
+                       bucket_spec=("url_hash", n_buckets))
     else:
-        catalog.overwrite("seen", seen_rows, partition_by=BUCKET_COL)
+        catalog.overwrite("seen", seen_rows, partition_by=BUCKET_COL,
+                          bucket_spec=("url_hash", n_buckets))
     rows.unpersist()
 
 

@@ -71,13 +71,23 @@ class SnapshotCatalog:
         with open(os.path.join(self._meta(table), f"v{snap}.json")) as f:
             return json.load(f)
 
-    def _commit(self, table: str, dirs: list[str], op: str, schema_json: str | None = None) -> int:
+    _INHERIT = object()  # "keep the parent snapshot's bucket_spec"
+
+    def _commit(self, table: str, dirs: list[str], op: str, schema_json: str | None = None,
+                bucket_spec=_INHERIT) -> int:
         meta = self._meta(table)
         os.makedirs(meta, exist_ok=True)
         snap = (self.current_snapshot(table) or 0) + 1
-        if schema_json is None and snap > 1:
-            schema_json = self._manifest(table, snap - 1).get("schema")
-        manifest = {"snapshot_id": snap, "dirs": dirs, "op": op, "schema": schema_json}
+        if snap > 1:
+            prev = self._manifest(table, snap - 1)
+            if schema_json is None:
+                schema_json = prev.get("schema")
+            if bucket_spec is SnapshotCatalog._INHERIT:
+                bucket_spec = prev.get("bucket_spec")
+        if bucket_spec is SnapshotCatalog._INHERIT:
+            bucket_spec = None
+        manifest = {"snapshot_id": snap, "dirs": dirs, "op": op, "schema": schema_json,
+                    "bucket_spec": bucket_spec}
         mpath = os.path.join(meta, f"v{snap}.json")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
@@ -113,17 +123,51 @@ class SnapshotCatalog:
                 return True
         return False
 
-    def overwrite(self, table: str, df: DataFrame, partition_by=None) -> int:
+    def bucket_spec(self, table: str) -> list | None:
+        """The table's recorded bucket partition spec [src_col,
+        n_buckets] (Iceberg's ``bucket(N, col)`` analog), or None."""
+        cur = self.current_snapshot(table)
+        if cur is None:
+            return None
+        return self._manifest(table, cur).get("bucket_spec")
+
+    def overwrite(self, table: str, df: DataFrame, partition_by=None,
+                  bucket_spec: tuple | None = None) -> int:
         d = self._write_data(table, df, partition_by)
         dirs = [d] if self._has_parquet(d) else []
-        return self._commit(table, dirs, "overwrite", schema_json=df.schema.json())
+        spec = list(bucket_spec) if bucket_spec else ([] if partition_by == BUCKET_COL else None)
+        # spec=[] means "bucketed but layout unrecorded" (legacy caller):
+        # it still poisons the delta fast path on later spec'd merges
+        return self._commit(table, dirs, "overwrite", schema_json=df.schema.json(),
+                            bucket_spec=spec)
 
-    def append(self, table: str, df: DataFrame, partition_by=None) -> int:
+    def append(self, table: str, df: DataFrame, partition_by=None,
+               bucket_spec: tuple | None = None) -> int:
+        if (
+            bucket_spec is not None
+            and self.exists(table)
+            and self.bucket_spec(table) not in (None, [], list(bucket_spec))
+        ):
+            # layout changed (e.g. resume with different n_buckets):
+            # appending rows bucketed under the new spec next to dirs
+            # bucketed under the old one would silently corrupt every
+            # later bucket-delta merge — rewrite the table under the
+            # new spec instead (Iceberg: REPLACE PARTITION FIELD)
+            src, n = bucket_spec
+            old = self.read(table).withColumn(BUCKET_COL, bucket_of(F.col(src), n))
+            merged = old.unionByName(df.withColumn(BUCKET_COL, bucket_of(F.col(src), n)))
+            return self.overwrite(table, merged, partition_by, bucket_spec)
         d = self._write_data(table, df, partition_by)
         cur = self.current_snapshot(table)
         prev = self._manifest(table, cur)["dirs"] if cur else []
         dirs = prev + ([d] if self._has_parquet(d) else [])
-        return self._commit(table, dirs, "append", schema_json=df.schema.json())
+        spec = (
+            list(bucket_spec)
+            if bucket_spec
+            else (SnapshotCatalog._INHERIT if cur else ([] if partition_by == BUCKET_COL else None))
+        )
+        return self._commit(table, dirs, "append", schema_json=df.schema.json(),
+                            bucket_spec=spec)
 
     def _read_entry(self, entry) -> DataFrame:
         """A manifest dir entry is either a whole data root (str) or a
@@ -176,6 +220,7 @@ class SnapshotCatalog:
         key: str,
         when_matched=None,
         partition_by=None,
+        bucket_spec: tuple | None = None,
     ) -> int:
         """MERGE INTO <table> USING updates ON key.
 
@@ -192,14 +237,33 @@ class SnapshotCatalog:
         file-level rewrite shape Iceberg MERGE produces, so per-round
         I/O is O(delta buckets), not O(table). Falls back to the full
         rewrite when any historical data dir is unbucketed.
+
+        ``bucket_spec=(src_col, n_buckets)`` declares how the caller
+        computed the bucket column. The delta fast path requires it to
+        MATCH the table's recorded spec: an update batch bucketed under
+        a different modulus (resume with a changed ``n_buckets``) would
+        otherwise carry forward a matched key's old row in a bucket the
+        batch never touches while also writing the new row — silent
+        duplicate keys. On mismatch the whole table is re-bucketed
+        under the new spec (global merge on key — always correct) and
+        the new spec is recorded.
         """
         if not self.exists(table):
-            return self.overwrite(table, updates, partition_by)
-        if partition_by == BUCKET_COL:
+            return self.overwrite(table, updates, partition_by, bucket_spec)
+        stored_spec = self.bucket_spec(table)
+        respec = (
+            partition_by == BUCKET_COL
+            and bucket_spec is not None
+            and stored_spec not in ([], list(bucket_spec))
+        )
+        if partition_by == BUCKET_COL and not respec:
             snap = self._commit_bucket_delta(table, updates, key, when_matched)
             if snap is not None:
                 return snap
         old = self.read(table)
+        if respec:
+            src, n = bucket_spec
+            old = old.withColumn(BUCKET_COL, bucket_of(F.col(src), n))
         strip_col = None
         if partition_by is not None and partition_by not in old.columns:
             # unbucketed history: stay unbucketed (full rewrite). The
@@ -218,7 +282,10 @@ class SnapshotCatalog:
         if strip_col is not None:
             merged = merged.drop(strip_col)
         out = untouched.unionByName(merged)
-        return self.overwrite(table, out, partition_by)
+        return self.overwrite(
+            table, out, partition_by,
+            bucket_spec if partition_by == BUCKET_COL else None,
+        )
 
     def _commit_bucket_delta(self, table: str, updates: DataFrame, key: str, when_matched) -> int | None:
         """Bucket-delta MERGE body; returns None when the table layout
@@ -266,7 +333,9 @@ class SnapshotCatalog:
         Used by resume to restore the table vector recorded in the last
         complete checkpoint row."""
         man = self._manifest(table, snapshot_id)
-        return self._commit(table, man["dirs"], f"rollback:{snapshot_id}")
+        return self._commit(table, man["dirs"], f"rollback:{snapshot_id}",
+                            schema_json=man.get("schema"),
+                            bucket_spec=man.get("bucket_spec"))
 
     def drop(self, table: str):
         shutil.rmtree(self._tdir(table), ignore_errors=True)

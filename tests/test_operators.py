@@ -87,6 +87,75 @@ def test_robots_longest_prefix(spark):
     }
 
 
+def test_robots_parse_semantics(spark):
+    """parse_robots_pages: grouping, agent matching, comments, empty
+    Disallow, fractional Crawl-delay — temoto/robotstxt semantics."""
+    from gocrawler_spark.operators.robots_parse import parse_robots_pages
+
+    body = (
+        "# top comment\n"
+        "Disallow: /ignored-before-any-group\n"
+        "User-agent: *\n"
+        "Allow: /public  # trailing comment\n"
+        "Disallow: /private\n"
+        "\n"
+        "User-agent: gocrawler\n"
+        "User-agent: otherbot\n"
+        "Disallow: /bots\n"
+        "Crawl-delay: 1.5\n"
+        "Disallow:\n"  # empty path: no-op
+        "\n"
+        "User-agent: unrelated\n"
+        "Disallow: /\n"
+    )
+    pages = spark.createDataFrame(
+        [("https://h.example/robots.txt", body.encode())], "url string, html binary"
+    )
+    # UA contains 'gocrawler' -> that group (mlen 9) beats '*' (mlen 0)
+    rows = parse_robots_pages(pages, user_agent="gocrawler/1.0").collect()
+    assert [(r["host"], r["agent"], r["rule"], r["path_prefix"], r["crawl_delay_ms"]) for r in rows] == [
+        ("h.example", "gocrawler", "disallow", "/bots", 1500)
+    ]
+    # unknown UA -> '*' group; rules before any group are dropped
+    rows = sorted(
+        parse_robots_pages(pages, user_agent="nobody").collect(),
+        key=lambda r: r["path_prefix"],
+    )
+    assert [(r["rule"], r["path_prefix"], r["crawl_delay_ms"]) for r in rows] == [
+        ("disallow", "/private", 0),
+        ("allow", "/public", 0),
+    ]
+
+
+def test_robots_parse_roundtrip_matches_datagen(spark):
+    """Rendered-from-rules bodies parse back to exactly the rule rows
+    entry()'s crawl previously consumed directly — the parity guard for
+    wiring parse_robots_pages ahead of load_robots."""
+    from gocrawler_spark.datagen import robots_pages
+    from gocrawler_spark.operators.robots_parse import parse_robots_pages
+    from gocrawler_spark.plans.crawl import USER_AGENT
+
+    robots = []
+    for k in range(6):
+        h = f"shop{k:03d}.example"
+        if k == 3:
+            robots.append({"host": h, "agent": "*", "rule": "disallow",
+                           "path_prefix": "/Mixup/detproducto", "crawl_delay_ms": 1500})
+        else:
+            robots.append({"host": h, "agent": "*", "rule": "allow",
+                           "path_prefix": "/", "crawl_delay_ms": 1500})
+    parsed = parse_robots_pages(robots_pages(spark, robots), user_agent=USER_AGENT)
+    got = sorted(
+        (r["host"], r["agent"], r["rule"], r["path_prefix"], r["crawl_delay_ms"])
+        for r in parsed.collect()
+    )
+    want = sorted(
+        (r["host"], r["agent"], r["rule"], r["path_prefix"], r["crawl_delay_ms"])
+        for r in robots
+    )
+    assert got == want
+
+
 def test_catalog_snapshots_and_rollback(spark, tmp_path):
     cat = SnapshotCatalog(str(tmp_path), spark)
     df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
@@ -102,6 +171,63 @@ def test_catalog_snapshots_and_rollback(spark, tmp_path):
     cat.overwrite("t", empty)
     assert cat.read("t").count() == 0
     assert cat.read("t").columns == ["id", "v"]
+
+
+def test_catalog_bucket_spec_change_no_duplicates(spark, tmp_path):
+    """ADVICE r2 (catalog.py:226): a MERGE whose update batch was
+    bucketed under a DIFFERENT n_buckets than the table layout must not
+    silently duplicate matched keys — the spec mismatch forces a
+    re-bucketed full merge, and the new spec is recorded."""
+    from gocrawler_spark.tables.catalog import BUCKET_COL, SnapshotCatalog, bucket_of
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    base = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(40)], "id string, v int"
+    ).withColumn(BUCKET_COL, bucket_of(F.col("id"), 16))
+    cat.overwrite("t", base, partition_by=BUCKET_COL, bucket_spec=("id", 16))
+    assert cat.bucket_spec("t") == ["id", 16]
+
+    # resume with n_buckets=4: same keys, new values, different layout
+    upd = spark.createDataFrame(
+        [(f"k{i}", 100 + i) for i in range(0, 40, 2)], "id string, v int"
+    ).withColumn(BUCKET_COL, bucket_of(F.col("id"), 4))
+    cat.merge_upsert("t", upd, "id", partition_by=BUCKET_COL, bucket_spec=("id", 4))
+
+    out = cat.read("t")
+    assert out.count() == 40  # no duplicate ids
+    assert out.select("id").distinct().count() == 40
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got["k0"] == 100 and got["k1"] == 1
+    # layout fully re-bucketed + spec updated -> delta path safe again
+    assert cat.bucket_spec("t") == ["id", 4]
+    buckets = {r[BUCKET_COL] for r in out.select(BUCKET_COL).distinct().collect()}
+    assert buckets <= set(range(4))
+    # matched-spec merge still takes the delta path (op recorded as such)
+    upd2 = spark.createDataFrame([("k1", 999)], "id string, v int").withColumn(
+        BUCKET_COL, bucket_of(F.col("id"), 4)
+    )
+    cat.merge_upsert("t", upd2, "id", partition_by=BUCKET_COL, bucket_spec=("id", 4))
+    man = cat._manifest("t", cat.current_snapshot("t"))
+    assert man["op"] == "merge-delta"
+    assert cat.read("t").count() == 40
+
+
+def test_catalog_append_spec_change_rebuckets(spark, tmp_path):
+    """Appending under a changed spec rewrites the layout instead of
+    mixing moduli in one table."""
+    from gocrawler_spark.tables.catalog import BUCKET_COL, SnapshotCatalog, bucket_of
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    base = spark.createDataFrame([(f"a{i}", i) for i in range(10)], "id string, v int") \
+        .withColumn(BUCKET_COL, bucket_of(F.col("id"), 8))
+    cat.overwrite("t", base, partition_by=BUCKET_COL, bucket_spec=("id", 8))
+    extra = spark.createDataFrame([(f"b{i}", i) for i in range(10)], "id string, v int") \
+        .withColumn(BUCKET_COL, bucket_of(F.col("id"), 2))
+    cat.append("t", extra, partition_by=BUCKET_COL, bucket_spec=("id", 2))
+    out = cat.read("t")
+    assert out.count() == 20
+    assert {r[BUCKET_COL] for r in out.select(BUCKET_COL).distinct().collect()} <= {0, 1}
+    assert cat.bucket_spec("t") == ["id", 2]
 
 
 def test_catalog_merge_upsert(spark, tmp_path):
@@ -294,6 +420,54 @@ def test_warc_source_roundtrip(spark, tmp_path):
     assert rows["https://b.example/p2"]["http_status"] == 404
 
 
+def test_warc_binary_gzip_members(spark, tmp_path):
+    """read_warc_binary: per-member gzip framing (Common Crawl's shape)
+    reads byte-exact; whole-stream gzip and uncompressed too."""
+    import gzip
+
+    from gocrawler_spark.sources.warc import read_warc_binary, warc_bytes
+
+    records = [
+        {"url": "https://a.example/p1", "html": "<html><body>uno</body></html>",
+         "warc_date": "2021-03-04T05:06:07Z"},
+        {"url": "https://b.example/p2", "html": "<html>dos</html>",
+         "status": 404, "mime": "text/html; charset=utf-8"},
+    ]
+    # per-member gzip: one gzip member per record, concatenated
+    members = b"".join(gzip.compress(warc_bytes([r])) for r in records)
+    (tmp_path / "cc.warc.gz").write_bytes(members)
+    # whole-stream gzip in a second file: both parse identically
+    (tmp_path / "stream.warc.gz").write_bytes(gzip.compress(warc_bytes(records)))
+    df = read_warc_binary(spark, str(tmp_path / "*.warc.gz"))
+    rows = df.collect()
+    assert len(rows) == 4  # 2 files x 2 records
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    assert bytes(by_url["https://a.example/p1"][0]["html"]) == b"<html><body>uno</body></html>"
+    assert by_url["https://a.example/p1"][0]["warc_ts"].isoformat().startswith("2021-03-04T05:06:07")
+    assert by_url["https://b.example/p2"][0]["http_status"] == 404
+
+
+def test_warc_binary_embedded_marker(spark, tmp_path):
+    """A body containing the literal record marker WARC/1.0\\r\\n must
+    survive byte-exact — Content-Length framing, not marker splitting
+    (the documented failure mode of the lineSep reader)."""
+    from gocrawler_spark.sources.warc import read_warc_binary, warc_bytes
+
+    evil_body = "<html>before\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nafter</html>"
+    records = [
+        {"url": "https://evil.example/p", "html": evil_body},
+        {"url": "https://next.example/q", "html": "<html>next</html>"},
+    ]
+    p = tmp_path / "evil.warc"
+    p.write_bytes(warc_bytes(records))
+    rows = {r["url"]: r for r in read_warc_binary(spark, str(p)).collect()}
+    assert set(rows) == {"https://evil.example/p", "https://next.example/q"}
+    assert bytes(rows["https://evil.example/p"]["html"]) == evil_body.encode()
+    assert bytes(rows["https://next.example/q"]["html"]) == b"<html>next</html>"
+
+
 def test_bucketed_colocated_anti_join(spark, tmp_path):
     """Equal bucket specs on both sides -> the seen anti-join plans with
     NO hashpartitioning Exchange (the parquet stand-in for Iceberg's
@@ -369,6 +543,9 @@ def test_host_extraction_matches_parse_url(spark):
         "ftp://h.example/x",
         "//h.example/protocol-relative",
         "",
+        "https://[::1]:8080/x",
+        "https://[2001:db8::7]/p?q=1",
+        "https://user@[::1]:443/p",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     rows = df.select(

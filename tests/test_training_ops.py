@@ -63,6 +63,45 @@ def test_ngram_jaccard_max_df_cap(spark):
     assert capped == uncapped
 
 
+def test_ngram_jaccard_prefix_filter_equals_all(spark):
+    """The default prefix-filter candidate path must return EXACTLY the
+    all-pairs result — pair set and jaccard values — on a corpus with
+    hot shared shingles, near-dup chains, and edge sizes. This is the
+    scale-safe default q21/q46/q47 ride (VERDICT r2 'wrong #2')."""
+    from gocrawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "the of and in to is that it for as"
+    rows = [
+        (0, f"{hot} unique alpha beta gamma delta epsilon"),
+        (1, f"{hot} unique alpha beta gamma delta zeta"),
+        (2, f"{hot} unique alpha beta gamma delta zeta"),  # exact dup of 1
+        (3, f"{hot} totally different tail words here now"),
+        (4, "tiny doc"),
+        (5, ""),
+    ] + [(10 + i, f"{hot} filler{i} pad{i} more{i} words{i} tail{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.85):
+        allp = {(r["a"], r["b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, threshold=t, candidates="all").collect()}
+        pref = {(r["a"], r["b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, threshold=t).collect()}
+        assert pref == allp, f"prefix != all at t={t}"
+    assert (1, 2) in pref  # sanity: the planted dup survived
+
+
+def test_ngram_jaccard_prefix_filter_on_driver_corpus(spark):
+    """Same equality on the real driver fixture (sf0.001 documents) at
+    the exact threshold q46/q47 use."""
+    from gocrawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    allp = {(r["a"], r["b"]) for r in
+            ngram_jaccard_pairs(docs, threshold=0.85, n=3, candidates="all").collect()}
+    pref = {(r["a"], r["b"]) for r in
+            ngram_jaccard_pairs(docs, threshold=0.85, n=3).collect()}
+    assert pref == allp
+
+
 def test_dedup_clusters_and_canonical(spark):
     """Connected components over near-dup pairs: chains collapse to one
     cluster labeled by the min id; canonical dedup keeps one doc per
@@ -259,6 +298,48 @@ def test_ivf_kmeans_and_index(spark, tmp_path):
     sub = ivf_read_cells(spark, idx, probe)
     assert {r["centroid_id"] for r in sub.collect()} == set(probe)
     plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_ivf_topk_indexed_prunes_and_matches(spark, tmp_path):
+    """ivf_topk_indexed must (a) return exactly what the in-memory
+    assignment path returns, and (b) read the written index with a
+    partition-pruning filter (the q26 driver path)."""
+    import numpy as np
+
+    from gocrawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probes,
+        ivf_read_cells,
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id < 3").select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.filter("vec_id >= 3")
+    cents = kmeans_centroids(corpus, 8, iters=2)
+    assigned = ivf_assign(corpus, cents)
+    idx = str(tmp_path / "idx")
+    ivf_write_index(assigned, idx)
+
+    mem = {(r["q_id"], r["rank"]): (r["vec_id"], r["cosine"])
+           for r in ivf_topk(assigned, cents, queries, k=4, nprobe=3).collect()}
+    viaidx = {(r["q_id"], r["rank"]): (r["vec_id"], r["cosine"])
+              for r in ivf_topk_indexed(spark, idx, cents, queries, k=4, nprobe=3).collect()}
+    assert viaidx == mem
+
+    # the pruned read only lists the probed cells' files
+    probes = ivf_probes(cents, queries, nprobe=3)
+    cell_ids = sorted(r["centroid_id"] for r in probes.select("centroid_id").distinct().collect())
+    assert len(cell_ids) < 8  # some cells are genuinely never probed
+    plan = ivf_read_cells(spark, idx, cell_ids)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
 
 
