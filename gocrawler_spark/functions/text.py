@@ -113,3 +113,84 @@ def shingle_fingerprint(col, k: int = 5) -> Column:
     return F.when(F.size(t) >= k, F.array_min(grams)).otherwise(
         F.md5(F.concat_ws(" ", t))
     )
+
+
+# -- PII redaction + repetition signals (round 3) ---------------------------
+# Standard training-data curation steps a Common-Crawl-scale corpus
+# runs before training; all JVM regexp/array built-ins (SQL-expressible,
+# codegen-friendly). Registered-query cap note: the driver correctness
+# gate records 50 queries and all 50 slots are taken, so these carry
+# pytest coverage (test_training_ops) instead of driver rows.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b"
+# 7+ digit runs with optional separators, phone-ish or card-ish
+_PII_PHONE = r"\+?[0-9][0-9()\-\s.]{5,}[0-9]"
+
+
+def redact_pii(col) -> Column:
+    """Replace emails / IPv4s / phone-or-card digit runs with typed
+    placeholder tokens (the irreversible-redaction convention used by
+    open web-corpus pipelines). Order matters: emails first so their
+    digits don't get phone-matched."""
+    out = F.regexp_replace(col, _PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, _PII_IPV4, "<IP>")
+    out = F.regexp_replace(out, _PII_PHONE, "<PHONE>")
+    return out
+
+
+def pii_count(col) -> Column:
+    """How many PII spans redact_pii would replace — the audit metric."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(_PII_EMAIL), 0))
+        + F.size(F.regexp_extract_all(col, F.lit(_PII_IPV4), 0))
+        + F.size(F.regexp_extract_all(redact_pii_emails_only(col), F.lit(_PII_PHONE), 0))
+    )
+
+
+def redact_pii_emails_only(col) -> Column:
+    out = F.regexp_replace(col, _PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, _PII_IPV4, "<IP>")
+
+
+def duplicate_line_fraction(col) -> Column:
+    """Gopher-style repetition signal: fraction of non-blank lines that
+    are duplicates of an earlier line (0 = all unique). Pure array ops;
+    no shuffle, no UDF."""
+    lines = F.filter(F.split(col, r"\n"), lambda l: F.trim(l) != "")
+    return F.when(
+        F.size(lines) > 0,
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.size(lines),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(docs, n: int = 2, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Fraction of a doc's tokens covered by its single most frequent
+    token n-gram (Gopher's top-n-gram filter; high value = boilerplate).
+    DataFrame-level (explode + two aggregations, shuffle on (doc, ngram)
+    — high cardinality, skew-free). Returns (id, top_ngram_frac)."""
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    grams_expr = F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - n),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select(id_col, F.size("t").alias("n_tok"), F.explode(grams_expr).alias("ngram"))
+    counts = g.groupBy(id_col, "n_tok", "ngram").count()
+    top = counts.groupBy(id_col, "n_tok").agg(F.max("count").alias("top_count"))
+    out = top.select(
+        id_col,
+        F.round(F.col("top_count") * n / F.col("n_tok"), 6).alias("top_ngram_frac"),
+    )
+    # docs too short for any n-gram: frac 0
+    short = toks.filter(F.size("t") < n).select(
+        id_col, F.lit(0.0).alias("top_ngram_frac")
+    )
+    return out.unionByName(short)

@@ -108,14 +108,148 @@ class _DomBuilder(HTMLParser):
             self._push(Node(is_text=True, data=data))
 
 
-def parse_html(html):
-    """Parse an HTML string (or bytes, UTF-8) into a DOM root node."""
+def parse_html_stdlib(html):
+    """html.parser-backed parse — the semantic reference for
+    :func:`parse_html`; kept for the differential parity test."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     b = _DomBuilder()
     b.feed(html)
     b.close()
     return b.root
+
+
+# -- fast tokenizer ---------------------------------------------------------
+# html.parser spends most of extract_page's budget in goahead()/
+# parse_starttag(); this tokenizer reproduces its OBSERVABLE behavior
+# for the constructs web pages actually contain (start/end tags,
+# self-closing, attributes in all three quote forms, charrefs in text
+# and attribute values, comments/declarations/PIs dropped, script/style
+# raw-text mode, lone '<' emitted as its own text node — the exact
+# text-node SPLITS matter because Contents()-based extraction is
+# byte-parity-pinned). test_fast_parser_matches_stdlib diffs the two
+# DOMs node-for-node over every fixture corpus.
+
+from html import unescape as _unescape  # noqa: E402
+
+_START_RE = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"  # tag name
+    r"((?:\s+[^\s/>=]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>]*))?)*)"  # attrs
+    r"\s*(/?)>"
+)
+_END_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_ATTR_RE = re.compile(
+    r"\s*([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
+)
+_RAWTEXT_END = {
+    t: re.compile(r"</\s*" + t, re.IGNORECASE) for t in ("script", "style")
+}
+
+
+def parse_html(html):
+    """Parse an HTML string (or bytes, UTF-8) into a DOM root node."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    s = html
+    root = Node(tag="#document")
+    stack = [root]
+    order = 0
+
+    def push(node):
+        nonlocal order
+        order += 1
+        node.order = order
+        parent = stack[-1]
+        node.parent = parent
+        parent.children.append(node)
+        return node
+
+    i, n = 0, len(s)
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            chunk = s[i:]
+            push(Node(is_text=True, data=_unescape(chunk) if "&" in chunk else chunk))
+            break
+        if lt > i:
+            chunk = s[i:lt]
+            push(Node(is_text=True, data=_unescape(chunk) if "&" in chunk else chunk))
+        c = s[lt + 1 : lt + 2]
+        if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            m = _START_RE.match(s, lt)
+            if not m:
+                push(Node(is_text=True, data="<"))
+                i = lt + 1
+                continue
+            tag = m.group(1).lower()
+            attrs = {}
+            if m.group(2):
+                for am in _ATTR_RE.finditer(m.group(2)):
+                    v = am.group(2)
+                    if v is None:
+                        v = am.group(3)
+                    if v is None:
+                        v = am.group(4)
+                    if v is None:
+                        v = ""
+                    attrs[am.group(1).lower()] = _unescape(v) if "&" in v else v
+            node = push(Node(tag=tag, attrs=attrs))
+            self_closing = bool(m.group(3))
+            i = m.end()
+            if tag in _RAWTEXT_END and not self_closing:
+                stack.append(node)  # raw text is a CHILD of script/style
+                em = _RAWTEXT_END[tag].search(s, i)
+                if em is None:
+                    break  # unclosed raw text: html.parser drops it
+                if em.start() > i:
+                    # raw content: charrefs NOT converted
+                    push(Node(is_text=True, data=s[i : em.start()]))
+                stack.pop()
+                gt = s.find(">", em.start())
+                i = n if gt < 0 else gt + 1
+            elif tag not in VOID_ELEMENTS and not self_closing:
+                stack.append(node)
+        elif c == "/":
+            m = _END_RE.match(s, lt)
+            if m:
+                tag = m.group(1).lower()
+                for k in range(len(stack) - 1, 0, -1):
+                    if stack[k].tag == tag:
+                        del stack[k:]
+                        break
+                i = m.end()
+            else:
+                gt = s.find(">", lt)
+                if gt < 0:
+                    # EOF mid-construct: html.parser emits '<' then the
+                    # tail as data — fall through to the text path
+                    push(Node(is_text=True, data="<"))
+                    i = lt + 1
+                else:
+                    # bogus end tag ('</>', '</ x'): skip to '>'
+                    i = gt + 1
+        elif c == "!":
+            if s.startswith("<!--", lt):
+                j = s.find("-->", lt + 4)
+            else:
+                j = s.find(">", lt)
+                j = j - 2 if j >= 0 else j  # normalize: consume j+3 below
+            if j < 0:
+                push(Node(is_text=True, data="<"))
+                i = lt + 1
+            else:
+                i = j + 3
+        elif c == "?":
+            j = s.find(">", lt)
+            if j < 0:
+                push(Node(is_text=True, data="<"))
+                i = lt + 1
+            else:
+                i = j + 1
+        else:
+            push(Node(is_text=True, data="<"))
+            i = lt + 1
+    return root
 
 
 # ---------------------------------------------------------------------------

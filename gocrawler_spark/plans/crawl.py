@@ -284,8 +284,11 @@ class CrawlJob:
             sel.unpersist()
             self._drop_round_caches()
             return {"round": rnd, "fetched": 0, "done": True}
+        # cached lazily: the fetch join materializes it, the OnError
+        # anti-join reads the cache — an eager count() here only added a
+        # per-round job (seq assignment is executor-deterministic, so a
+        # recompute-on-eviction cannot change values)
         fetch_set = self._assign_seq(selected).cache()
-        fetch_set.count()
 
         # J2 fetch join — the pages scan reads only (url, html). Broadcast
         # the fetch set only while it actually fits (size-gated: at 10^8
@@ -351,6 +354,11 @@ class CrawlJob:
             F.col("priority").cast("int"),
             F.lit(rnd).cast("int").alias("discovered_round"),
         ).withColumn(BUCKET_COL, bucket_of(F.col("url_hash"), cfg.n_buckets)).cache()
+        # NB: tried folding this count into the frontier write via
+        # Observation — Spark 4.1 returns a schema-less metrics row for
+        # this plan shape (union over cached observe under a dynamic-
+        # partition overwrite) and toPyRow asserts; a plain count over
+        # the about-to-be-written cache is the reliable form
         n_new = new_rows.count()
 
         # ------------------------------------------------- state commits
@@ -396,8 +404,8 @@ class CrawlJob:
             extracted.filter(F.col("item").isNotNull())
             .select("seq", "item.*")
         )
-        if items.isEmpty():
-            return 0
+        # (no isEmpty() probe: batch.count() below answers it in the
+        # same job, and the empty case falls out naturally)
         # within-batch Redis-write-order semantics keyed by canonical seq:
         # HMSET scalars last-wins, RPUSH reviews appended, HSETNX details
         # first-wins (repository.go:25-93). Ordered-window collect_list
@@ -424,6 +432,8 @@ class CrawlJob:
             ).alias("details"),
         ).withColumn(BUCKET_COL, bucket_of(F.col("id"), self.cfg.n_buckets))
         n = batch.count()
+        if n == 0:
+            return 0
 
         def when_matched(old: DataFrame, new: DataFrame) -> DataFrame:
             o = old.select(

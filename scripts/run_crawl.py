@@ -54,9 +54,13 @@ def main():
     cfg = CrawlConfig(credit_per_host=args.credit, max_rounds=args.max_rounds,
                       max_depth=args.max_depth)
     job = CrawlJob(spark, cat, profile, cfg)
-    robots_df = spark.createDataFrame(
-        [(r["host"], r["agent"], r["rule"], r["path_prefix"], r["crawl_delay_ms"]) for r in robots],
-        "host string, agent string, rule string, path_prefix string, crawl_delay_ms long")
+    # production path: rules parsed from rendered /robots.txt bodies
+    # (temoto/robotstxt semantics), same as entry()
+    from gocrawler_spark.datagen import robots_pages
+    from gocrawler_spark.operators.robots_parse import parse_robots_pages
+    from gocrawler_spark.plans.crawl import USER_AGENT
+
+    robots_df = parse_robots_pages(robots_pages(spark, robots), user_agent=USER_AGENT)
 
     if args.resume and cat.exists(job._ckpt_table()):
         history = job.resume(pages, robots_df)

@@ -195,3 +195,59 @@ def test_proxy_list_extract():
     assert rows[1]["google"] is False and rows[1]["ssl"] is False
     # ' 80 ' fails Go Atoi (no trimming) -> zero-value port
     assert rows[2]["port"] == 0 and rows[2]["ssl"] is True
+
+
+def test_fast_parser_matches_stdlib():
+    """htmlmini's regex tokenizer must produce a node-for-node identical
+    DOM (tags, attrs, and exact TEXT-NODE SPLITS — Contents()-based
+    extraction is byte-parity-pinned on those) to the html.parser
+    reference, across the full fixture corpus plus adversarial
+    constructs (raw-text script/style, charrefs, lone '<', EOF-truncated
+    tags/comments, bogus end tags)."""
+    from gocrawler_spark.datagen import (
+        PROXY_LIST_HTML,
+        crawl_corpus,
+        parity_pages,
+    )
+    from gocrawler_spark.htmlmini import parse_html, parse_html_stdlib
+
+    def ser(node, out):
+        if node.is_text:
+            out.append(("T", node.data))
+            return
+        out.append(("E", node.tag, tuple(sorted(node.attrs.items()))))
+        for c in node.children:
+            ser(c, out)
+        out.append(("/",))
+
+    def check(html, label):
+        a, b = [], []
+        ser(parse_html(html), a)
+        ser(parse_html_stdlib(html), b)
+        assert a == b, f"{label}: fast parser diverges from html.parser"
+
+    cases = [
+        '<div class="a" id=b data-x=\'c\'>t &amp; u</div>',
+        "<script>if (a<b && c>d) {}</script><p>x</p>",
+        "<!-- comment --><p>y</p>", '<br><img src="x"/><p>z',
+        '<DIV CLASS="Up">M</DIV>', '<a href="?a=1&amp;b=2">l</a>',
+        "<p>a < b</p>", "<style>.x{}</style>", "<td><td>1<td>2",
+        "<input value=unquoted>", "<p>&nbsp;&#65;</p>",
+        "<script>never closed", "<p", "</>", "</ x>",
+        "<!doctype html><p>d</p>", "<?pi ?><p>e</p>", "<p>tail<",
+        "<p>amp& loose</p>", "<p>&notareal;</p>",
+        "<SCRIPT>UP</SCRIPT>after", "<style>a</STYLE>b",
+        '<a href = "x" >y</a>', '<div  a="1"  b>k</div>',
+        "<p>x<!-- unterminated", "<em/>done", '<a b="c>d">t</a>',
+        "<p>x<!bogus", "<p>x<?pi", "<p>x</unclosed", '<p>x<div a="b',
+        "<p>x<di", "<p>&amp", "<p>a&ampb</p>", "<p>&#x41;&#X42;</p>",
+    ]
+    for i, c in enumerate(cases):
+        check(c, f"case{i}")
+    pages, *_ = crawl_corpus(n_pages=300, n_hosts=10)
+    for p in pages:
+        h = p["html"]
+        check(h.decode() if isinstance(h, bytes) else h, p["url"])
+    for url, html, _prof in parity_pages():
+        check(html, url)
+    check(PROXY_LIST_HTML, "proxy")

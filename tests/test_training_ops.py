@@ -685,3 +685,50 @@ def test_streaming_windowed_fetch_rate_watermark(spark, tmp_path):
     drain()
     assert ("10:03", "a", 1) in emitted and ("10:08", "a", 1) in emitted
     assert not any(w == "10:02" for w, _, _ in emitted)  # dropped row
+
+
+def test_redact_pii_and_count(spark):
+    from gocrawler_spark.functions.text import pii_count, redact_pii
+
+    rows = [
+        (0, "mail me at john.doe+x@example.co.uk thanks"),
+        (1, "server at 192.168.1.254 port 80"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "clean text with number 42 and 3.14"),
+        (4, "combo a@b.io from 10.0.0.1 tel 555-867-5309"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["red"], r["n"]) for r in df.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("red"),
+        pii_count(F.col("text")).alias("n"),
+    ).collect()}
+    assert out[0] == ("mail me at <EMAIL> thanks", 1)
+    assert out[1] == ("server at <IP> port 80", 1)
+    assert out[2][0] == "call <PHONE> now" and out[2][1] == 1
+    assert out[3] == ("clean text with number 42 and 3.14", 0)
+    assert out[4][0] == "combo <EMAIL> from <IP> tel <PHONE>" and out[4][1] == 3
+
+
+def test_repetition_signals(spark):
+    from gocrawler_spark.functions.text import (
+        duplicate_line_fraction,
+        top_ngram_fraction,
+    )
+
+    rows = [
+        (0, "a b\na b\na b\nc d"),          # 2 of 4 lines are dups
+        (1, "one two three four five six"),  # no repetition
+        (2, "spam ham spam ham spam ham"),   # 'spam ham' bigram x3
+        (3, ""),
+        (4, "x"),                            # too short for bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dl = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", duplicate_line_fraction(F.col("text")).alias("f")).collect()}
+    assert dl[0] == 0.5 and dl[1] == 0.0 and dl[3] == 0.0
+    tg = {r["doc_id"]: r["top_ngram_frac"]
+          for r in top_ngram_fraction(df, n=2).collect()}
+    assert tg[1] == round(2 / 6, 6)   # every bigram unique: top covers 2/6
+    assert tg[2] == 1.0               # 'spam ham' x3 * 2 tokens / 6 tokens
+    assert tg[3] == 0.0 and tg[4] == 0.0
