@@ -142,6 +142,33 @@ def parse_robots_pages(
     )
 
 
+def robots_sitemaps(pages: DataFrame, url_col: str = "url",
+                    body_col: str = "html") -> DataFrame:
+    """``Sitemap:`` directives from robots.txt bodies -> (host,
+    sitemap_url). Per the REP, Sitemap lines are host-global (outside
+    any User-agent group), so no group/agent logic applies. The output
+    feeds the streaming frontier ingest (sitemap pings are the
+    canonical unbounded candidate source for
+    streaming/microbatch.start_frontier_ingest)."""
+    body = F.col(body_col)
+    if dict(pages.dtypes)[body_col] == "binary":
+        body = F.decode(body, "utf-8")
+    lines = pages.select(
+        _host_of(F.col(url_col)).alias("host"),
+        F.explode(F.split(body, r"\r?\n")).alias("line"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("line"), "#.*$", ""))
+    return (
+        lines.withColumn("clean", clean)
+        .filter(F.lower(F.col("clean")).rlike(r"^sitemap\s*:"))
+        .select(
+            "host",
+            F.trim(F.regexp_extract("clean", r"^[^:]+:(.*)$", 1)).alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )
+
+
 def render_robots_txt(rules: list[dict]) -> dict[str, str]:
     """Inverse helper for fixtures/entry wiring: per-host robots.txt
     bodies from (host, agent, rule, path_prefix, crawl_delay_ms) rows —

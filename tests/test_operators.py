@@ -127,6 +127,30 @@ def test_robots_parse_semantics(spark):
     ]
 
 
+def test_robots_sitemaps(spark):
+    from gocrawler_spark.operators.robots_parse import parse_robots_pages, robots_sitemaps
+
+    body = (
+        "Sitemap: https://h.example/sitemap.xml\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Sitemap: https://cdn.example/other-sitemap.xml  # comment\n"
+        "sitemap: https://h.example/lower.xml\n"
+    )
+    pages = spark.createDataFrame(
+        [("https://h.example/robots.txt", body.encode())], "url string, html binary"
+    )
+    got = sorted((r["host"], r["sitemap_url"]) for r in robots_sitemaps(pages).collect())
+    assert got == [
+        ("h.example", "https://cdn.example/other-sitemap.xml"),
+        ("h.example", "https://h.example/lower.xml"),
+        ("h.example", "https://h.example/sitemap.xml"),
+    ]
+    # sitemap lines are transparent to the rule parser
+    rules = parse_robots_pages(pages, user_agent="anybot").collect()
+    assert [(r["rule"], r["path_prefix"]) for r in rules] == [("disallow", "/x")]
+
+
 def test_robots_parse_roundtrip_matches_datagen(spark):
     """Rendered-from-rules bodies parse back to exactly the rule rows
     entry()'s crawl previously consumed directly — the parity guard for
