@@ -1021,21 +1021,25 @@ d4 AS (SELECT * FROM (
          SELECT *, sum(gs) OVER (PARTITION BY host ORDER BY ln) AS gid FROM d3)
        WHERE gid > 0),
 agents AS (SELECT host, gid, value AS agent,
-             CASE WHEN value = '*' THEN 0
-                  WHEN strpos(lower('{_ROBOTS_UA}'), lower(value)) > 0 THEN length(value) END AS mlen
+             CASE WHEN value = '*' THEN 1
+                  WHEN starts_with(lower('{_ROBOTS_UA}'), lower(value)) THEN length(value) + 1 END AS mlen
            FROM d4 WHERE is_ua),
 ga AS (SELECT host, gid, max(mlen) AS gmlen, arg_max(agent, mlen) AS agent
        FROM agents WHERE mlen IS NOT NULL GROUP BY host, gid),
 best AS (SELECT host, gid, agent FROM (
-           SELECT *, max(gmlen) OVER (PARTITION BY host) AS b FROM ga) WHERE gmlen = b),
+           SELECT *, row_number() OVER (PARTITION BY host ORDER BY gmlen DESC, gid DESC) AS rk
+           FROM ga) WHERE rk = 1),
 delays AS (SELECT host, gid,
              cast(round(cast(arg_min(value, ln) AS double) * 1000) AS bigint) AS cd
            FROM d4 WHERE field = 'crawl-delay' GROUP BY host, gid),
 rules AS (SELECT host, gid, field AS rule, value AS path_prefix FROM d4
           WHERE field IN ('allow','disallow') AND value <> '')
-SELECT r.host, b.agent, r.rule, r.path_prefix,
+SELECT b.host, b.agent,
+       coalesce(r.rule, 'allow') AS rule,
+       coalesce(r.path_prefix, '/') AS path_prefix,
        cast(coalesce(d.cd, 0) AS bigint) AS crawl_delay_ms
-FROM rules r JOIN best b USING (host, gid) LEFT JOIN delays d USING (host, gid)
+FROM best b LEFT JOIN rules r USING (host, gid) LEFT JOIN delays d USING (host, gid)
+WHERE r.rule IS NOT NULL OR d.cd IS NOT NULL
 """
 
 

@@ -185,9 +185,13 @@ def top_ngram_fraction(docs, n: int = 2, text_col: str = "text",
     g = toks.select(id_col, F.size("t").alias("n_tok"), F.explode(grams_expr).alias("ngram"))
     counts = g.groupBy(id_col, "n_tok", "ngram").count()
     top = counts.groupBy(id_col, "n_tok").agg(F.max("count").alias("top_count"))
+    # clamp: self-overlapping repeats ('a a a a', n=2 -> 3*2/4) can push
+    # top_count*n past n_tok; the covered-token contract caps at 1.0
     out = top.select(
         id_col,
-        F.round(F.col("top_count") * n / F.col("n_tok"), 6).alias("top_ngram_frac"),
+        F.round(
+            F.least(F.lit(1.0), F.col("top_count") * n / F.col("n_tok")), 6
+        ).alias("top_ngram_frac"),
     )
     # docs too short for any n-gram: frac 0
     short = toks.filter(F.size("t") < n).select(

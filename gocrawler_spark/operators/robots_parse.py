@@ -15,10 +15,16 @@ Semantics follow temoto/robotstxt (which follows the Google REP draft):
 * a run of consecutive ``User-agent`` lines opens a group; the group's
   rules are every allow/disallow/crawl-delay line up to the next
   User-agent run; rules before any User-agent line are ignored;
-* agent matching: ``*`` matches anything (match length 0); otherwise a
-  group matches when its agent token is a case-insensitive substring of
-  the caller's user-agent, with the LONGEST match winning; all groups
-  tied at the best length contribute rules;
+* agent matching mirrors temoto FindGroup: ``*`` matches anything with
+  the weakest possible score (1); otherwise a group matches when its
+  agent token is a case-insensitive PREFIX of the caller's user-agent
+  (``strings.HasPrefix``), scoring ``len(token)+1``; exactly ONE group
+  wins — the highest score, ties broken by last declaration (temoto
+  keys groups in a map, so a duplicate token's later group overwrites
+  the earlier one);
+* a winning group with a ``Crawl-delay`` but no path rules still emits
+  one synthesized ``allow /`` row so the delay is not lost (allow rows
+  never restrict admission in ``robots_filter``);
 * an allow/disallow line with an empty path is a no-op (an empty
   Disallow means "allow everything" — no restriction row);
 * ``Crawl-delay`` is seconds (fractional ok) → ``crawl_delay_ms``;
@@ -94,12 +100,15 @@ def parse_robots_pages(
         .filter(F.col("gid") > 0)  # rules before any User-agent: ignored
     )
 
-    # best-matching agent per group, then best groups per host
+    # temoto FindGroup scoring: '*' -> 1 (weakest); token that is a
+    # case-insensitive PREFIX of the caller UA -> len(token)+1; one
+    # group wins per host (ties -> last-declared gid, matching temoto's
+    # map overwrite on duplicate tokens)
     match_len = (
-        F.when(F.col("value") == "*", F.lit(0))
+        F.when(F.col("value") == "*", F.lit(1))
         .when(
-            F.instr(F.lit(user_agent.lower()), F.lower(F.col("value"))) > 0,
-            F.length("value"),
+            F.lit(user_agent.lower()).startswith(F.lower(F.col("value"))),
+            F.length("value") + 1,
         )
         .otherwise(F.lit(None).cast("int"))
     )
@@ -112,9 +121,12 @@ def parse_robots_pages(
         F.max("mlen").alias("gmlen"),
         F.max_by("agent", "mlen").alias("agent"),
     )
-    best = ga.withColumn(
-        "_best", F.max("gmlen").over(Window.partitionBy("host"))
-    ).filter(F.col("gmlen") == F.col("_best")).select("host", "gid", "agent")
+    wb = Window.partitionBy("host").orderBy(F.col("gmlen").desc(), F.col("gid").desc())
+    best = (
+        ga.withColumn("_rk", F.row_number().over(wb))
+        .filter(F.col("_rk") == 1)
+        .select("host", "gid", "agent")
+    )
 
     delays = (
         grouped.filter(F.col("field") == "crawl-delay")
@@ -129,14 +141,18 @@ def parse_robots_pages(
         grouped.filter(F.col("field").isin("allow", "disallow") & (F.col("value") != ""))
         .select("host", "gid", F.col("field").alias("rule"), F.col("value").alias("path_prefix"))
     )
+    # drive from the winning group so a Crawl-delay with no path rules
+    # still surfaces (as a non-restricting 'allow /' row); groups with
+    # neither rules nor a delay emit nothing
     return (
-        rules.join(best, ["host", "gid"])
+        best.join(rules, ["host", "gid"], "left")
         .join(delays, ["host", "gid"], "left")
+        .filter(F.col("rule").isNotNull() | F.col("crawl_delay_ms").isNotNull())
         .select(
             "host",
             "agent",
-            "rule",
-            "path_prefix",
+            F.coalesce("rule", F.lit("allow")).alias("rule"),
+            F.coalesce("path_prefix", F.lit("/")).alias("path_prefix"),
             F.coalesce("crawl_delay_ms", F.lit(0)).cast("long").alias("crawl_delay_ms"),
         )
     )

@@ -91,7 +91,10 @@ def kmeans_centroids(
     metadata-scale); passing a mismatched value used to silently
     truncate long vectors / null-pad short ones, so it is now asserted
     against the data."""
-    data_dims = emb.select(F.size(vec_col)).first()[0]
+    probe = emb.select(F.size(vec_col)).first()
+    if probe is None:
+        raise ValueError("kmeans_centroids: input has no rows (cannot derive dims)")
+    data_dims = probe[0]
     if dims is None:
         dims = data_dims
     elif dims != data_dims:

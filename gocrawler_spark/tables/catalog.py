@@ -137,7 +137,8 @@ class SnapshotCatalog:
         dirs = [d] if self._has_parquet(d) else []
         spec = list(bucket_spec) if bucket_spec else ([] if partition_by == BUCKET_COL else None)
         # spec=[] means "bucketed but layout unrecorded" (legacy caller):
-        # it still poisons the delta fast path on later spec'd merges
+        # a later spec'd merge/append treats it as a layout mismatch and
+        # re-buckets the whole table rather than trust the fast path
         return self._commit(table, dirs, "overwrite", schema_json=df.schema.json(),
                             bucket_spec=spec)
 
@@ -146,7 +147,7 @@ class SnapshotCatalog:
         if (
             bucket_spec is not None
             and self.exists(table)
-            and self.bucket_spec(table) not in (None, [], list(bucket_spec))
+            and self.bucket_spec(table) not in (None, list(bucket_spec))
         ):
             # layout changed (e.g. resume with different n_buckets):
             # appending rows bucketed under the new spec next to dirs
@@ -251,10 +252,15 @@ class SnapshotCatalog:
         if not self.exists(table):
             return self.overwrite(table, updates, partition_by, bucket_spec)
         stored_spec = self.bucket_spec(table)
+        # stored [] = "bucketed but modulus unrecorded" (legacy writer):
+        # the delta fast path would trust bucket dirs computed under an
+        # unverified modulus — exactly the silent-duplicate scenario the
+        # spec exists to prevent — so [] forces the re-bucketed rewrite
+        # just like a conflicting spec does
         respec = (
             partition_by == BUCKET_COL
             and bucket_spec is not None
-            and stored_spec not in ([], list(bucket_spec))
+            and stored_spec != list(bucket_spec)
         )
         if partition_by == BUCKET_COL and not respec:
             snap = self._commit_bucket_delta(table, updates, key, when_matched)

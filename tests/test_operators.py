@@ -127,6 +127,45 @@ def test_robots_parse_semantics(spark):
     ]
 
 
+def test_robots_findgroup_prefix_single_group(spark):
+    """temoto FindGroup pins: (1) agent tokens match by PREFIX of the
+    UA, not substring — 'firefox' must NOT capture a Mozilla UA that
+    merely contains it; (2) exactly ONE group wins; (3) a winning group
+    with only a Crawl-delay still emits a delay-carrying 'allow /' row;
+    (4) a duplicate token's later group overwrites the earlier one."""
+    from gocrawler_spark.operators.robots_parse import parse_robots_pages
+
+    body = (
+        "User-agent: *\n"
+        "Crawl-delay: 3\n"          # delay-only star group
+        "\n"
+        "User-agent: firefox\n"
+        "Disallow: /ff\n"
+        "\n"
+        "User-agent: mozilla\n"
+        "Disallow: /old\n"
+        "\n"
+        "User-agent: mozilla\n"     # duplicate token: this group wins
+        "Disallow: /new\n"
+    )
+    pages = spark.createDataFrame(
+        [("https://h.example/robots.txt", body.encode())], "url string, html binary"
+    )
+    # substring-but-not-prefix 'firefox' must not match; 'mozilla' is a
+    # prefix; the LAST mozilla group is the single winner
+    rows = parse_robots_pages(
+        pages, user_agent="Mozilla/5.0 (Gecko) Firefox/100"
+    ).collect()
+    assert [(r["agent"], r["rule"], r["path_prefix"], r["crawl_delay_ms"]) for r in rows] == [
+        ("mozilla", "disallow", "/new", 0)
+    ]
+    # unknown UA -> the '*' group; its Crawl-delay survives as allow /
+    rows = parse_robots_pages(pages, user_agent="nobody").collect()
+    assert [(r["agent"], r["rule"], r["path_prefix"], r["crawl_delay_ms"]) for r in rows] == [
+        ("*", "allow", "/", 3000)
+    ]
+
+
 def test_robots_sitemaps(spark):
     from gocrawler_spark.operators.robots_parse import parse_robots_pages, robots_sitemaps
 
@@ -234,6 +273,46 @@ def test_catalog_bucket_spec_change_no_duplicates(spark, tmp_path):
     man = cat._manifest("t", cat.current_snapshot("t"))
     assert man["op"] == "merge-delta"
     assert cat.read("t").count() == 40
+
+
+def test_catalog_unrecorded_spec_forces_rebucket(spark, tmp_path):
+    """ADVICE r3 (catalog.py:140): a legacy table written bucketed but
+    with NO recorded spec ([]) must not let a later spec'd merge take
+    the delta fast path on an unverified modulus — the [] layout is a
+    mismatch and forces the re-bucketed full merge."""
+    from gocrawler_spark.tables.catalog import BUCKET_COL, SnapshotCatalog, bucket_of
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    # legacy writer: bucketed under modulus 16 but spec unrecorded
+    base = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(40)], "id string, v int"
+    ).withColumn(BUCKET_COL, bucket_of(F.col("id"), 16))
+    cat.overwrite("t", base, partition_by=BUCKET_COL)
+    assert cat.bucket_spec("t") == []
+
+    upd = spark.createDataFrame(
+        [(f"k{i}", 100 + i) for i in range(0, 40, 2)], "id string, v int"
+    ).withColumn(BUCKET_COL, bucket_of(F.col("id"), 4))
+    cat.merge_upsert("t", upd, "id", partition_by=BUCKET_COL, bucket_spec=("id", 4))
+    out = cat.read("t")
+    assert out.count() == 40
+    assert out.select("id").distinct().count() == 40
+    got = {r["id"]: r["v"] for r in out.collect()}
+    assert got["k0"] == 100 and got["k1"] == 1
+    assert cat.bucket_spec("t") == ["id", 4]
+    man = cat._manifest("t", cat.current_snapshot("t"))
+    assert man["op"] != "merge-delta"
+    # spec'd append onto an []-spec table re-buckets the same way
+    cat2 = SnapshotCatalog(str(tmp_path / "t2"), spark)
+    cat2.overwrite("t", base, partition_by=BUCKET_COL)
+    extra = spark.createDataFrame([("x1", 1)], "id string, v int").withColumn(
+        BUCKET_COL, bucket_of(F.col("id"), 4)
+    )
+    cat2.append("t", extra, partition_by=BUCKET_COL, bucket_spec=("id", 4))
+    assert cat2.bucket_spec("t") == ["id", 4]
+    out2 = cat2.read("t")
+    assert out2.count() == 41
+    assert {r[BUCKET_COL] for r in out2.select(BUCKET_COL).distinct().collect()} <= set(range(4))
 
 
 def test_catalog_append_spec_change_rebuckets(spark, tmp_path):

@@ -732,3 +732,9 @@ def test_repetition_signals(spark):
     assert tg[1] == round(2 / 6, 6)   # every bigram unique: top covers 2/6
     assert tg[2] == 1.0               # 'spam ham' x3 * 2 tokens / 6 tokens
     assert tg[3] == 0.0 and tg[4] == 0.0
+    # ADVICE r3: self-overlapping repeats ('a a a a': bigram 'a a' x3,
+    # 3*2/4 = 1.5 uncapped) must clamp to the 1.0 covered-fraction bound
+    over = spark.createDataFrame([(9, "a a a a")], "doc_id long, text string")
+    tg2 = {r["doc_id"]: r["top_ngram_frac"]
+           for r in top_ngram_fraction(over, n=2).collect()}
+    assert tg2[9] == 1.0
