@@ -836,24 +836,38 @@ def q51(spark, sf):
 
 
 @_q(
-    "q37_bloom_prefilter",
-    # semantics are exact (bloom is a prefilter only): candidates minus seen
+    "q37_seen_prefilters",
+    # semantics are exact (the filters are prefilters only): candidates
+    # minus seen — BOTH the bloom and cuckoo paths must produce this set;
+    # the query returns their intersection so a miss in either path
+    # breaks the oracle compare (merged q37+q41, round 4)
     "SELECT doc_id FROM documents WHERE doc_id % 2 = 1",
 )
 def q37(spark, sf):
-    # F4/A6 — bloom built per-partition + treeAggregate merge; returns the
-    # definite-new subset of a candidate list vs a seen set
+    # F4/A6 — bloom (per-partition build + treeAggregate merge) AND the
+    # sharded cuckoo variant, each returning the definite-new subset of
+    # a candidate list vs a seen set, intersection-compared
     from gocrawler_spark.operators.bloom import bloom_prefilter, build_bloom
+    from gocrawler_spark.operators.cuckoo import build_cuckoo_sharded, cuckoo_prefilter
 
     d = _t(spark, sf, "documents")
     seen = d.filter("doc_id % 2 = 0").select(F.md5(F.col("doc_id").cast("string")).alias("url_hash"))
     cands = d.select(F.md5(F.col("doc_id").cast("string")).alias("url_hash"), "doc_id")
+
+    def new_via(prefilter):
+        flagged = prefilter(cands)
+        definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        confirmed = maybe.join(seen, "url_hash", "left_anti")
+        return definite_new.unionByName(confirmed).select("doc_id")
+
     bloom = build_bloom(seen, "url_hash", 1 << 20, 5)
-    flagged = bloom_prefilter(cands, "url_hash", bloom)
-    definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed = maybe.join(seen, "url_hash", "left_anti")
-    return definite_new.unionByName(confirmed).select("doc_id")
+    via_bloom = new_via(lambda c: bloom_prefilter(c, "url_hash", bloom))
+    cuckoo = build_cuckoo_sharded(
+        seen, "url_hash", n_keys_hint=seen.count(), n_shards=8
+    )
+    via_cuckoo = new_via(lambda c: cuckoo_prefilter(c, "url_hash", cuckoo))
+    return via_bloom.intersect(via_cuckoo)
 
 
 @_q(
@@ -930,27 +944,85 @@ def q42(spark, sf):
     return kept.groupBy("source").agg(F.count("*").alias("n_docs"))
 
 
-@_q(
-    "q41_cuckoo_prefilter",
-    # same exact semantics as q37: candidates minus seen (odd doc_ids)
-    "SELECT doc_id FROM documents WHERE doc_id % 2 = 1",
-)
+# the exact regex strings are shared with the Spark functions (the
+# point is both engines run the SAME patterns); everything else about
+# the oracle — replace chains, list ops, n-gram windows — is written
+# independently in DuckDB SQL
+from gocrawler_spark.functions.text import _PII_EMAIL, _PII_IPV4, _PII_PHONE  # noqa: E402
+
+_PII_REP_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact u' || cast(doc_id AS varchar) || '@example.com from 10.1.'
+              || cast(doc_id % 256 AS varchar) || '.' || cast(doc_id % 250 AS varchar)
+              || ' tel +1 555 010 ' || lpad(cast(doc_id % 10000 AS varchar), 4, '0') AS text
+  FROM documents),
+pii AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}'))
+           + len(regexp_extract_all(text, '{_PII_IPV4}'))
+           + len(regexp_extract_all(
+               regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}')) AS n_pii,
+         md5(regexp_replace(
+               regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5,
+         CASE WHEN len(nl) > 0
+              THEN round((len(nl) - len(list_distinct(nl))) * 1.0 / len(nl), 6)
+              ELSE 0.0 END AS dup_line_frac
+  FROM (SELECT *, list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS nl FROM aug)),
+toks AS (SELECT doc_id, {{tok}} AS l FROM aug),
+grams AS (SELECT doc_id, len(l) AS n_tok,
+                 unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS g
+          FROM toks WHERE len(l) >= 2),
+counts AS (SELECT doc_id, n_tok, g, count(*) AS c FROM grams GROUP BY doc_id, n_tok, g),
+topg AS (SELECT doc_id, round(least(1.0, max(c) * 2.0 / n_tok), 6) AS top_ngram_frac
+         FROM counts GROUP BY doc_id, n_tok
+         UNION ALL
+         SELECT doc_id, 0.0 AS top_ngram_frac FROM toks WHERE len(l) < 2)
+SELECT p.doc_id, p.n_pii, p.redacted_md5, p.dup_line_frac, t.top_ngram_frac
+FROM pii p JOIN topg t USING (doc_id)
+""".replace("{tok}", _TOKENIZE_SQL)
+
+
+@_q("q41_pii_repetition", _PII_REP_ORACLE)
 def q41(spark, sf):
-    # F4/A6 cuckoo variant — deletable seen-filter, sharded build
-    from gocrawler_spark.operators.cuckoo import build_cuckoo_sharded, cuckoo_prefilter
+    # the round-3 curation additions, now oracle-checked (VERDICT r3 #2):
+    # PII redaction + audit count and the Gopher repetition signals, over
+    # documents augmented with deterministic synthetic PII so the
+    # redaction paths actually fire
+    from gocrawler_spark.functions.text import (
+        duplicate_line_fraction,
+        pii_count,
+        redact_pii,
+        top_ngram_fraction,
+    )
 
     d = _t(spark, sf, "documents")
-    seen = d.filter("doc_id % 2 = 0").select(
-        F.md5(F.col("doc_id").cast("string")).alias("url_hash")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("doc_id"), F.lit(250)).cast("string"),
+            F.lit(" tel +1 555 010 "),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
     )
-    n_seen = seen.count()
-    cands = d.select(F.md5(F.col("doc_id").cast("string")).alias("url_hash"), "doc_id")
-    f = build_cuckoo_sharded(seen, "url_hash", n_keys_hint=n_seen, n_shards=8)
-    flagged = cuckoo_prefilter(cands, "url_hash", f)
-    definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed = maybe.join(seen, "url_hash", "left_anti")
-    return definite_new.unionByName(confirmed).select("doc_id")
+    base = aug.select(
+        "doc_id",
+        pii_count(F.col("text")).alias("n_pii"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+        duplicate_line_fraction(F.col("text")).alias("dup_line_frac"),
+    )
+    tg = top_ngram_fraction(aug, n=2)
+    return base.join(tg, "doc_id")
 
 
 @_q(

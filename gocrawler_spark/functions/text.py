@@ -118,9 +118,9 @@ def shingle_fingerprint(col, k: int = 5) -> Column:
 # -- PII redaction + repetition signals (round 3) ---------------------------
 # Standard training-data curation steps a Common-Crawl-scale corpus
 # runs before training; all JVM regexp/array built-ins (SQL-expressible,
-# codegen-friendly). Registered-query cap note: the driver correctness
-# gate records 50 queries and all 50 slots are taken, so these carry
-# pytest coverage (test_training_ops) instead of driver rows.
+# codegen-friendly). Oracle-checked by the driver as q41_pii_repetition
+# (round 4 — the q37/q41 seen-prefilter merge freed the gate slot) plus
+# pytest coverage in test_training_ops.
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\b"
