@@ -42,10 +42,15 @@ def _run_crawl(spark: SparkSession, sf_dir: str, max_rounds: int = 3):
     pages = pages.cache()
     pages.count()
     cat = SnapshotCatalog(tempfile.mkdtemp(prefix="gocrawler_entry_"), spark)
+    # round_budget_ms wires the parsed Crawl-delay (q53's output) into
+    # per-host credits — the batch form of colly's LimitRule
+    # Parallelism=4 / RandomDelay<=6s (scraper.go:101-105): a host at
+    # the fixture's base 1500 ms delay keeps the full credit of 8
+    # (12000/1500), the 3000 ms hosts get 4
     job = CrawlJob(
         spark, cat, profile,
         CrawlConfig(credit_per_host=8, max_rounds=max_rounds, salt_parts=8,
-                    n_buckets=16),
+                    n_buckets=16, round_budget_ms=12000),
     )
     seeds_df = spark.createDataFrame(
         [(s["url"], s["priority"]) for s in seeds], "url string, priority int"

@@ -353,12 +353,15 @@ def pages_from_documents(docs_df, n_hosts: int = 16):
     ]
     robots = []
     for k, h in enumerate(hosts):
+        # heterogeneous Crawl-delay: every 5th host (k%5==2) is slow
+        # (3000 ms) so a budgeted crawl provably shapes per-host credits
+        delay = 3000 if k % 5 == 2 else 1500
         if k == 3:
             robots.append({"host": h, "agent": "*", "rule": "disallow",
-                           "path_prefix": "/Mixup/detproducto", "crawl_delay_ms": 1500})
+                           "path_prefix": "/Mixup/detproducto", "crawl_delay_ms": delay})
         else:
             robots.append({"host": h, "agent": "*", "rule": "allow",
-                           "path_prefix": "/", "crawl_delay_ms": 1500})
+                           "path_prefix": "/", "crawl_delay_ms": delay})
     return pages, seeds, robots, profile
 
 

@@ -361,6 +361,20 @@ class CrawlJob:
         # the about-to-be-written cache is the reliable form
         n_new = new_rows.count()
 
+        # one cache-scan aggregation answers every per-round "how many"
+        # the sub-commits used to probe separately (errs.count, items
+        # batch.count, quarantine isEmpty — 3 driver actions -> 1):
+        # distinct fetched urls (OnError = n_fetch - that), captcha rows,
+        # and distinct item ids (the post-window upsert batch size)
+        stats = extracted.agg(
+            F.count_distinct("url").alias("n_ok_urls"),
+            F.count_if(F.col("is_captcha")).alias("n_captcha"),
+            F.count_distinct(
+                F.when(F.col("item").isNotNull(), F.col("item.id"))
+            ).alias("n_item_ids"),
+        ).first()
+        n_err = n_fetch - stats["n_ok_urls"]
+
         # ------------------------------------------------- state commits
         remainder = sel.filter(~F.col("is_selected")).select(*[f.name for f in FRONTIER_SCHEMA.fields], BUCKET_COL)
         frontier2 = remainder.unionByName(new_rows)
@@ -372,9 +386,9 @@ class CrawlJob:
                                  bucket_spec=("url_hash", cfg.n_buckets))
         self._seen_count += n_new
 
-        n_items = self._commit_items(extracted)
-        n_err = self._commit_fetch_log(rnd, extracted, missing)
-        self._commit_quarantine(rnd, extracted)
+        n_items = self._commit_items(extracted, stats["n_item_ids"])
+        self._commit_fetch_log(rnd, extracted, missing, n_fetch)
+        self._commit_quarantine(rnd, extracted, stats["n_captcha"])
 
         metrics = {
             "round": rnd,
@@ -399,13 +413,16 @@ class CrawlJob:
         self._round_caches.clear()
 
     # ------------------------------------------------------------ sub-commits
-    def _commit_items(self, extracted: DataFrame) -> int:
+    def _commit_items(self, extracted: DataFrame, n: int) -> int:
+        """``n`` is the distinct-item-id count from run_round's single
+        stats aggregation (== the post-window batch size, since the
+        window keeps exactly one row per id)."""
+        if n == 0:
+            return 0
         items = (
             extracted.filter(F.col("item").isNotNull())
             .select("seq", "item.*")
         )
-        # (no isEmpty() probe: batch.count() below answers it in the
-        # same job, and the empty case falls out naturally)
         # within-batch Redis-write-order semantics keyed by canonical seq:
         # HMSET scalars last-wins, RPUSH reviews appended, HSETNX details
         # first-wins (repository.go:25-93). Ordered-window collect_list
@@ -431,9 +448,6 @@ class CrawlJob:
                 lambda acc, m: F.map_zip_with(acc, m, lambda k, v1, v2: F.coalesce(v1, v2)),
             ).alias("details"),
         ).withColumn(BUCKET_COL, bucket_of(F.col("id"), self.cfg.n_buckets))
-        n = batch.count()
-        if n == 0:
-            return 0
 
         def when_matched(old: DataFrame, new: DataFrame) -> DataFrame:
             o = old.select(
@@ -465,7 +479,8 @@ class CrawlJob:
         )
         return n
 
-    def _commit_fetch_log(self, rnd: int, extracted: DataFrame, missing: DataFrame) -> int:
+    def _commit_fetch_log(self, rnd: int, extracted: DataFrame,
+                          missing: DataFrame, n_fetch: int) -> int:
         """Request lineage rows per requestTracker.go:14-27: id, url,
         callback, error, depth, method, status, start/end/duration, plus
         the E18 header metadata and the J5 cookie-propagation column
@@ -492,16 +507,21 @@ class CrawlJob:
         ok = response_revalidation(extracted.select("url", "url_hash", "depth", "seq"), self.profile)
         resp = lineage(ok, "OnResponse", "", 200)
         errs = lineage(missing, "OnError", "Not Found", 404)
-        n_err = errs.count()
-        self.cat.append("fetch_log", resp.unionByName(errs))
-        return n_err
+        # (no errs.count() here — run_round derives the OnError count
+        # from its one stats aggregation, so the missing anti-join runs
+        # exactly once, inside this append)
+        # every selected URL yields exactly one lineage row (OnResponse
+        # xor OnError), so n_fetch sizes the round's file count exactly
+        self.cat.append("fetch_log", resp.unionByName(errs), n_rows=n_fetch)
 
-    def _commit_quarantine(self, rnd: int, extracted: DataFrame):
-        q = extracted.filter(F.col("is_captcha")).select(
-            "url", F.lit(rnd).alias("round")
-        )
-        if not q.isEmpty():
-            self.cat.append("quarantine", q)
+    def _commit_quarantine(self, rnd: int, extracted: DataFrame, n_captcha: int):
+        # captcha count comes from run_round's stats aggregation — no
+        # per-round isEmpty() probe job on captcha-free rounds
+        if n_captcha:
+            q = extracted.filter(F.col("is_captcha")).select(
+                "url", F.lit(rnd).alias("round")
+            )
+            self.cat.append("quarantine", q, n_rows=n_captcha)
 
     def _checkpoint(self, round_no: int, metrics: dict):
         snaps = {
@@ -509,11 +529,14 @@ class CrawlJob:
             for t in STATE_TABLES
             if self.cat.exists(t)
         }
-        row = [(self.run_id, round_no, json.dumps(snaps), json.dumps(metrics))]
-        df = self.spark.createDataFrame(
-            row, "run_id string, round int, snapshots string, metrics string"
+        # one driver-local row per round: written driver-side (pyarrow),
+        # not through a Spark job — the checkpoint IS commit metadata,
+        # same tier as the manifest files themselves
+        self.cat.append_local_rows(
+            self._ckpt_table(),
+            [(self.run_id, round_no, json.dumps(snaps), json.dumps(metrics))],
+            "run_id string, round int, snapshots string, metrics string",
         )
-        self.cat.append(self._ckpt_table(), df)
 
     # ---------------------------------------------------------------- loop
     def run(self, pages: DataFrame, start_round: int = 1) -> list[dict]:

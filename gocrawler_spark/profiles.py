@@ -96,12 +96,14 @@ def synthetic_profile(hosts: tuple[str, ...]) -> SiteProfile:
         # hosts exactly, so F1 AND F2 is unchanged — and the admission
         # regex stays O(1) in the host count (an alternation of hundreds
         # of hosts would dominate the scheduling hot path)
+        # the host class admits bracketed IPv6 literals ([2001:db8::7])
+        # alongside reg-names — identical in Java and RE2/Python
         link_extraction_query=(
-            r"(?m)https://([a-z0-9.-]+)/[Mm]ixup/"
+            r"(?m)https://([a-z0-9.:\[\]-]+)/[Mm]ixup/"
             r"(([Hh]ome\.aspx)|((Categoria|Productos)\.aspx\?(etq\=))|(detproducto\.aspx\?sku=\d+)$)"
         ),
         link_product_query=(
-            r"(?m)(https://(?:[a-z0-9.-]+)/[Mm]ixup/)"
+            r"(?m)(https://(?:[a-z0-9.:\[\]-]+)/[Mm]ixup/)"
             r"(detproducto\.aspx\?sku=\d{12,})$"
         ),
         allowed_domains=hosts,

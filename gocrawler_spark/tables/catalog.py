@@ -99,7 +99,12 @@ class SnapshotCatalog:
         os.replace(cur_tmp, self._current_path(table))
         return snap
 
-    def _write_data(self, table: str, df: DataFrame, partition_by=None) -> str:
+    # target rows per output file for size-hinted appends — the row-count
+    # analog of Iceberg's write.target-file-size-bytes
+    ROWS_PER_FILE = 4_000_000
+
+    def _write_data(self, table: str, df: DataFrame, partition_by=None,
+                    n_rows: int | None = None) -> str:
         dest = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
         w = df.write.mode("overwrite")
         if partition_by:
@@ -109,6 +114,15 @@ class SnapshotCatalog:
             # bucket is written by one task
             df = df.repartition(F.col(partition_by))
             w = df.write.mode("overwrite").partitionBy(partition_by)
+        elif n_rows is not None:
+            # caller already knows the row count: size the file count
+            # from it instead of inheriting the upstream partitioning
+            # (a 300-row round otherwise writes one tiny file per cache
+            # partition, and append tables accumulate one such spray per
+            # round — O(rounds × partitions) files). repartition, not
+            # coalesce, so upstream compute keeps its parallelism.
+            parts = max(1, -(-n_rows // self.ROWS_PER_FILE))
+            w = df.repartition(parts).write.mode("overwrite")
         w.parquet(dest)
         return dest
 
@@ -142,8 +156,43 @@ class SnapshotCatalog:
         return self._commit(table, dirs, "overwrite", schema_json=df.schema.json(),
                             bucket_spec=spec)
 
+    def append_local_rows(self, table: str, rows: list[tuple], ddl: str) -> int:
+        """Append a handful of DRIVER-LOCAL rows without a Spark job.
+
+        Control-plane rows (one checkpoint row per crawl round) already
+        live on the driver; routing them through createDataFrame +
+        df.write costs a full job's scheduling/write machinery (~0.6 s
+        each at local scale) for a sub-KB file. Iceberg's own commit
+        path writes manifests driver-side for the same reason. pyarrow
+        writes the parquet file directly; the manifest records the
+        Spark schema so reads stay schema-driven and identical to the
+        Spark-written case."""
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        spark_schema = _parse_datatype_string(ddl)
+        assert isinstance(spark_schema, StructType)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {"string": pa.string(), "integer": pa.int32(), "long": pa.int64(),
+               "double": pa.float64(), "boolean": pa.bool_()}
+        fields = [(f.name, _PA[f.dataType.typeName()]) for f in spark_schema.fields]
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        tbl = pa.table(
+            {name: pa.array(list(vals), type=t)
+             for (name, t), vals in zip(fields, cols)}
+        )
+        dest = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
+        os.makedirs(dest, exist_ok=True)
+        pq.write_table(tbl, os.path.join(dest, "part-00000.parquet"))
+        cur = self.current_snapshot(table)
+        prev = self._manifest(table, cur)["dirs"] if cur else []
+        return self._commit(table, prev + [dest], "append",
+                            schema_json=spark_schema.json(),
+                            bucket_spec=SnapshotCatalog._INHERIT if cur else None)
+
     def append(self, table: str, df: DataFrame, partition_by=None,
-               bucket_spec: tuple | None = None) -> int:
+               bucket_spec: tuple | None = None, n_rows: int | None = None) -> int:
         if (
             bucket_spec is not None
             and self.exists(table)
@@ -158,7 +207,7 @@ class SnapshotCatalog:
             old = self.read(table).withColumn(BUCKET_COL, bucket_of(F.col(src), n))
             merged = old.unionByName(df.withColumn(BUCKET_COL, bucket_of(F.col(src), n)))
             return self.overwrite(table, merged, partition_by, bucket_spec)
-        d = self._write_data(table, df, partition_by)
+        d = self._write_data(table, df, partition_by, n_rows=n_rows)
         cur = self.current_snapshot(table)
         prev = self._manifest(table, cur)["dirs"] if cur else []
         dirs = prev + ([d] if self._has_parquet(d) else [])
@@ -170,15 +219,25 @@ class SnapshotCatalog:
         return self._commit(table, dirs, "append", schema_json=df.schema.json(),
                             bucket_spec=spec)
 
-    def _read_entry(self, entry) -> DataFrame:
+    def _read_entry(self, entry, schema=None) -> DataFrame:
         """A manifest dir entry is either a whole data root (str) or a
         per-bucket subset {"root": ..., "parts": ["bucket=N", ...]} left
         behind by a bucket-delta merge; basePath keeps the partition
-        column when reading a subset of hive dirs."""
+        column when reading a subset of hive dirs.
+
+        ``schema`` is the manifest's recorded schema: passing it skips
+        parquet footer inference — without it every read of every entry
+        runs a schema-discovery job, and append-mode tables (seen,
+        fetch_log) accumulate one entry per round, so round R paid O(R)
+        extra driver actions (Iceberg reads are manifest-schema-driven
+        for the same reason)."""
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(schema)
         if isinstance(entry, str):
-            return self.spark.read.parquet(entry)
+            return r.parquet(entry)
         paths = [os.path.join(entry["root"], p) for p in entry["parts"]]
-        return self.spark.read.option("basePath", entry["root"]).parquet(*paths)
+        return r.option("basePath", entry["root"]).parquet(*paths)
 
     def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
         snap = snapshot_id if snapshot_id is not None else self.current_snapshot(table)
@@ -186,12 +245,14 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"table {table} has no snapshot")
         man = self._manifest(table, snap)
         dirs = man["dirs"]
-        if not dirs:
+        schema = None
+        if man.get("schema"):
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(man["schema"]))
+        if not dirs:
             return self.spark.createDataFrame([], schema)
-        dfs = [self._read_entry(d) for d in dirs]
+        dfs = [self._read_entry(d, schema) for d in dirs]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)

@@ -270,3 +270,91 @@ def test_budgeted_politeness_parity(spark, tmp_path, corpus):
     assert s_seen == g_seen
     assert s_log == g_log
     assert s_frontier == g_frontier == set()
+
+
+def test_entry_default_crawl_respects_crawl_delay(spark):
+    """VERDICT r3 #3: the flagship entry() crawl must let parsed
+    Crawl-delay shape per-host credits by default. The entry fixture's
+    slow hosts (3000 ms, k%5==2) may fetch at most 12000/3000 = 4 URLs
+    per round while base-delay hosts (1500 ms) may fetch 8 — and both
+    caps must actually bind somewhere in the run."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from gocrawler_spark.operators.frontier import _host_of
+
+    cat = entrymod._run_crawl(spark, "/root/testdata/sf0.001", max_rounds=3)
+    log = cat.read("fetch_log").filter(F.col("callback") == "OnResponse")
+    per = (
+        log.select(_host_of(F.col("url")).alias("host"), "round")
+        .groupBy("host", "round")
+        .count()
+        .collect()
+    )
+    assert per, "entry crawl fetched nothing"
+
+    def host_k(host: str) -> int:
+        import re
+
+        return int(re.search(r"(\d+)", host).group(1))
+
+    slow_max = fast_max = 0
+    for r in per:
+        k = host_k(r["host"])
+        cap = 4 if k % 5 == 2 else 8
+        assert r["count"] <= cap, f"{r['host']} round {r['round']}: {r['count']} > {cap}"
+        if k % 5 == 2:
+            slow_max = max(slow_max, r["count"])
+        else:
+            fast_max = max(fast_max, r["count"])
+    assert slow_max == 4, f"slow-host cap never bound (max {slow_max})"
+    assert fast_max == 8, f"fast-host cap never bound (max {fast_max})"
+
+
+def test_crawl_parity_with_ipv6_host(spark, tmp_path):
+    """VERDICT r3 #8: a bracketed-IPv6 host runs the FULL crawl —
+    admission, robots grouping, politeness windows, seq assignment,
+    item extraction — and matches the golden simulator exactly."""
+    from gocrawler_spark.datagen import crawl_corpus
+    from gocrawler_spark.profiles import synthetic_profile
+
+    V6 = "[2001:db8::7]"
+    pages, seeds, robots, hosts, _ = crawl_corpus(80, 4)
+    old = hosts[1]
+
+    def fix(s: str) -> str:
+        return s.replace(old, V6)
+
+    pages2 = [
+        {**p, "url": fix(p["url"]), "html": fix(p["html"].decode()).encode(),
+         "text": fix(p["text"])}
+        for p in pages
+    ]
+    seeds2 = [{**s, "url": fix(s["url"])} for s in seeds]
+    robots2 = [{**r, "host": fix(r["host"])} for r in robots]
+    hosts2 = [fix(h) for h in hosts]
+    profile = synthetic_profile(tuple(hosts2))
+    assert V6 in profile.allowed_domains
+
+    golden = simulate(
+        {p["url"]: p["html"] for p in pages2}, seeds2, robots2, profile,
+        SimConfig(credit_per_host=CREDIT, max_rounds=60),
+    )
+    # the IPv6 host must actually participate (seed host 0 links cross-host)
+    v6_fetches = [r for r in golden.fetch_log if V6 in r["url"]]
+    assert v6_fetches, "IPv6 host never crawled — fixture broken"
+
+    cat = SnapshotCatalog(str(tmp_path / "v6"), spark)
+    job = CrawlJob(
+        spark, cat, profile,
+        CrawlConfig(credit_per_host=CREDIT, max_rounds=60, salt_parts=4,
+                    n_buckets=8),
+    )
+    job.init_run(seeds_df(spark, seeds2), robots_df(spark, robots2))
+    job.run(pages_df(spark, pages2))
+    s_seen, s_log, s_items, s_frontier = _spark_state(cat)
+    g_seen, g_log, g_items, g_frontier = _golden_state(golden)
+    assert s_seen == g_seen
+    assert s_log == g_log
+    assert s_items == g_items
+    assert s_frontier == g_frontier == set()

@@ -571,6 +571,102 @@ def test_warc_binary_embedded_marker(spark, tmp_path):
     assert bytes(rows["https://next.example/q"]["html"]) == b"<html>next</html>"
 
 
+def test_warc_binary_mixed_record_types(spark, tmp_path):
+    """VERDICT r3 #7: real WARCs interleave warcinfo / request /
+    metadata records with responses; non-response records must be
+    skipped WITHOUT desyncing the Content-Length framing — including a
+    metadata block that embeds a fake record marker."""
+    import gzip
+
+    from gocrawler_spark.sources.warc import read_warc_binary
+
+    def raw_record(wtype: str, url: str | None, block: bytes) -> bytes:
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            + (f"WARC-Target-URI: {url}\r\n" if url else "")
+            + "WARC-Date: 2021-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(block)}\r\n\r\n"
+        )
+        return head.encode() + block + b"\r\n\r\n"
+
+    def response_block(body: bytes) -> bytes:
+        return (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+
+    recs = [
+        raw_record("warcinfo", None, b"software: fixture-writer 0.1\r\nformat: WARC/1.0\r\n"),
+        raw_record("request", "https://a.example/p",
+                   b"GET /p HTTP/1.1\r\nHost: a.example\r\n\r\n"),
+        raw_record("response", "https://a.example/p", response_block(b"<html>A</html>")),
+        # metadata block embedding a fake marker: must not resync here
+        raw_record("metadata", "https://a.example/p",
+                   b"via: sitemap\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\ntrap"),
+        raw_record("response", "https://b.example/q", response_block(b"<html>B</html>")),
+        raw_record("request", "https://c.example/r",
+                   b"GET /r HTTP/1.1\r\nHost: c.example\r\n\r\n"),
+    ]
+    stream = b"".join(recs)
+
+    p = tmp_path / "mixed.warc"
+    p.write_bytes(stream)
+    rows = {r["url"]: r for r in read_warc_binary(spark, str(p)).collect()}
+    assert set(rows) == {"https://a.example/p", "https://b.example/q"}
+    assert bytes(rows["https://a.example/p"]["html"]) == b"<html>A</html>"
+    assert bytes(rows["https://b.example/q"]["html"]) == b"<html>B</html>"
+
+    # Common Crawl framing of the same stream: one gzip member per record
+    pg = tmp_path / "mixed.warc.gz"
+    pg.write_bytes(b"".join(gzip.compress(r) for r in recs))
+    rows_gz = {r["url"]: bytes(r["html"]) for r in read_warc_binary(spark, str(pg)).collect()}
+    assert rows_gz == {
+        "https://a.example/p": b"<html>A</html>",
+        "https://b.example/q": b"<html>B</html>",
+    }
+
+
+def test_catalog_local_rows_and_sized_appends(spark, tmp_path):
+    """Round-4 commit-path hygiene: (a) driver-local control-plane rows
+    (checkpoints) written via pyarrow read back bit-identically to the
+    Spark-written form, interleave with Spark appends, and survive
+    rollback; (b) an `n_rows`-hinted append writes ceil(n/ROWS_PER_FILE)
+    files, not one per upstream partition."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.tables.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path / "wh"), spark)
+    ddl = "run_id string, round int, snapshots string, metrics string"
+    cat.append_local_rows("checkpoints", [("r1", 1, "{}", "{}")], ddl)
+    snap1 = cat.current_snapshot("checkpoints")
+    # a Spark-written append on top of a pyarrow-written one
+    cat.append(
+        "checkpoints",
+        spark.createDataFrame([("r1", 2, '{"seen": 4}', '{"n": 7}')], ddl),
+    )
+    cat.append_local_rows("checkpoints", [("r1", 3, "{}", '{"n": 9}')], ddl)
+    df = cat.read("checkpoints")
+    assert df.schema.simpleString() == (
+        "struct<run_id:string,round:int,snapshots:string,metrics:string>"
+    )
+    assert {(r["round"], r["metrics"]) for r in df.collect()} == {
+        (1, "{}"), (2, '{"n": 7}'), (3, '{"n": 9}'),
+    }
+    cat.rollback("checkpoints", snap1)
+    assert cat.read("checkpoints").count() == 1
+
+    # (b) sized append: 64 upstream partitions, 100 rows -> 1 file
+    wide = spark.range(100).repartition(64).selectExpr("cast(id as string) url")
+    cat.append("log", wide, n_rows=100)
+    files = glob.glob(os.path.join(cat.base, "log", "data", "*", "*.parquet"))
+    assert len(files) == 1
+    assert cat.read("log").count() == 100
+
+
 def test_bucketed_colocated_anti_join(spark, tmp_path):
     """Equal bucket specs on both sides -> the seen anti-join plans with
     NO hashpartitioning Exchange (the parquet stand-in for Iceberg's
