@@ -19,9 +19,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def max_rules_per_host(robots: DataFrame) -> int | None:
+    """Metadata probe for :func:`robots_filter`'s fast-path choice.
+
+    One tiny aggregation over the (broadcast-scale) rules table. Callers
+    with a static rules table — the crawl loop, a streaming ingest —
+    should run it ONCE and pass the result to every ``robots_filter``
+    call: the probe is an eager driver action, and inside a per-round /
+    per-micro-batch loop it would otherwise re-run every iteration."""
+    return robots.groupBy("host").count().agg(F.max("count")).collect()[0][0]
+
+
 def robots_filter(
     candidates: DataFrame, robots: DataFrame, url_col: str = "url",
     host_col: str = "host", path_col: str = "path",
+    max_rules: int | None = None,
 ) -> DataFrame:
     """Return candidates allowed by robots rules (broadcast join).
 
@@ -31,8 +43,12 @@ def robots_filter(
     multi-rule-per-host case uses a longest-prefix fold over the
     host's rule array — a higher-order function, which Spark
     *interprets* (~300ns/row); measured 6x slower than the codegen
-    path, so don't put it on the hot path unless the rules need it."""
-    max_rules = robots.groupBy("host").count().agg(F.max("count")).collect()[0][0]
+    path, so don't put it on the hot path unless the rules need it.
+
+    ``max_rules``: pre-computed :func:`max_rules_per_host` result; pass
+    it when calling in a loop so the probe doesn't re-run per call."""
+    if max_rules is None:
+        max_rules = max_rules_per_host(robots)
     if max_rules is not None and max_rules <= 1:
         rules1 = robots.select(
             F.col("host").alias("_r_host"),

@@ -29,6 +29,7 @@ Scale notes (the 10^10-URL design):
 from __future__ import annotations
 
 import json
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -44,7 +45,7 @@ from ..operators.bloom import Bloom, bloom_prefilter, build_bloom
 from ..operators.extraction import ITEM_TYPE, extract_fetched
 from ..operators.frontier import admission_filter, is_product_url, normalize_candidates
 from ..operators.politeness import select_fetch_set
-from ..operators.robots import robots_filter
+from ..operators.robots import max_rules_per_host, robots_filter
 from ..profiles import SiteProfile
 from ..tables.catalog import BUCKET_COL, SnapshotCatalog, bucket_of
 
@@ -151,6 +152,9 @@ class CrawlJob:
     def load_robots(self, robots_df: DataFrame):
         self._robots_df = robots_df.cache()
         self._robots_df.count()
+        # probe once: the rules table is static for the whole run, and
+        # robots_filter's fast-path probe is a driver action per call
+        self._robots_max_rules = max_rules_per_host(self._robots_df)
         self._host_delays = self._robots_df.groupBy("host").agg(
             F.max("crawl_delay_ms").alias("crawl_delay_ms")
         )
@@ -159,7 +163,7 @@ class CrawlJob:
         """F1+F2+F6 then robots (F5). cand must have url/depth columns."""
         c = normalize_candidates(cand)
         c = admission_filter(c, self.profile, self.cfg.max_depth)
-        c = robots_filter(c, self._robots_df)
+        c = robots_filter(c, self._robots_df, max_rules=self._robots_max_rules)
         return c
 
     def init_run(self, seeds_df: DataFrame, robots_df: DataFrame):
@@ -361,34 +365,55 @@ class CrawlJob:
         # the about-to-be-written cache is the reliable form
         n_new = new_rows.count()
 
-        # one cache-scan aggregation answers every per-round "how many"
-        # the sub-commits used to probe separately (errs.count, items
-        # batch.count, quarantine isEmpty — 3 driver actions -> 1):
-        # distinct fetched urls (OnError = n_fetch - that), captcha rows,
-        # and distinct item ids (the post-window upsert batch size)
-        stats = extracted.agg(
-            F.count_distinct("url").alias("n_ok_urls"),
-            F.count_if(F.col("is_captcha")).alias("n_captcha"),
-            F.count_distinct(
-                F.when(F.col("item").isNotNull(), F.col("item.id"))
-            ).alias("n_item_ids"),
-        ).first()
-        n_err = n_fetch - stats["n_ok_urls"]
 
         # ------------------------------------------------- state commits
+        # The five state tables are independent (different catalog
+        # tables, inputs all cached above), so their commit jobs are
+        # submitted from driver THREADS: Spark schedules concurrent jobs
+        # fine, and what overlaps is the per-action driver latency
+        # (Catalyst analysis + commit bookkeeping), which the job
+        # timeline shows is ~half the round at small scale. On a real
+        # cluster the same shape keeps executors busy across the
+        # commits' barrier instead of draining between five serial jobs.
         remainder = sel.filter(~F.col("is_selected")).select(*[f.name for f in FRONTIER_SCHEMA.fields], BUCKET_COL)
         frontier2 = remainder.unionByName(new_rows)
-        f_snap = self.cat.overwrite("frontier", frontier2, partition_by=BUCKET_COL,
-                                    bucket_spec=("url_hash", cfg.n_buckets))
-
         seen_append = new_rows.select("url_hash", "url", F.lit(rnd).alias("first_round"), BUCKET_COL)
-        s_snap = self.cat.append("seen", seen_append, partition_by=BUCKET_COL,
-                                 bucket_spec=("url_hash", cfg.n_buckets))
-        self._seen_count += n_new
 
-        n_items = self._commit_items(extracted, stats["n_item_ids"])
-        self._commit_fetch_log(rnd, extracted, missing, n_fetch)
-        self._commit_quarantine(rnd, extracted, stats["n_captcha"])
+        with ThreadPoolExecutor(max_workers=6, thread_name_prefix="commit") as ex:
+            # one cache-scan aggregation answers every per-round "how
+            # many" the sub-commits used to probe separately (errs
+            # count, items batch count, quarantine isEmpty — 3 driver
+            # actions -> 1), and it runs in the pool too: only the
+            # items/quarantine commits need its result, so it overlaps
+            # the frontier/seen/fetch_log commits instead of serializing
+            # in front of all five
+            stats_fut = ex.submit(
+                lambda: extracted.agg(
+                    F.count_distinct("url").alias("n_ok_urls"),
+                    F.count_if(F.col("is_captcha")).alias("n_captcha"),
+                    F.count_distinct(
+                        F.when(F.col("item").isNotNull(), F.col("item.id"))
+                    ).alias("n_item_ids"),
+                ).first()
+            )
+            futs = [
+                ex.submit(self.cat.overwrite, "frontier", frontier2,
+                          partition_by=BUCKET_COL,
+                          bucket_spec=("url_hash", cfg.n_buckets)),
+                ex.submit(self.cat.append, "seen", seen_append,
+                          partition_by=BUCKET_COL,
+                          bucket_spec=("url_hash", cfg.n_buckets)),
+                ex.submit(lambda: self._commit_items(
+                    extracted, stats_fut.result()["n_item_ids"])),
+                ex.submit(self._commit_fetch_log, rnd, extracted, missing, n_fetch),
+                ex.submit(lambda: self._commit_quarantine(
+                    rnd, extracted, stats_fut.result()["n_captcha"])),
+            ]
+            # .result() re-raises any commit failure before checkpoint
+            _, _, n_items, _, _ = [f.result() for f in futs]
+            stats = stats_fut.result()
+        n_err = n_fetch - stats["n_ok_urls"]
+        self._seen_count += n_new
 
         metrics = {
             "round": rnd,

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.frontier import admission_filter, is_product_url, normalize_candidates
-from ..operators.robots import robots_filter
+from ..operators.robots import max_rules_per_host, robots_filter
 from ..profiles import SiteProfile
 from ..tables.catalog import BUCKET_COL, SnapshotCatalog, bucket_of
 
@@ -28,15 +28,19 @@ def frontier_ingest_batch(
     profile: SiteProfile,
     robots_df: DataFrame,
     n_buckets: int = 32,
+    robots_max_rules: int | None = None,
 ):
     """foreachBatch sink: admit candidates, dedup vs seen, MERGE into
-    frontier + seen. Batch-mode rounds reuse the same operators."""
+    frontier + seen. Batch-mode rounds reuse the same operators.
+    ``robots_max_rules``: pass :func:`max_rules_per_host` computed once
+    at stream start — the probe is a driver action per micro-batch
+    otherwise."""
     cand = batch_df.select(
         "url", F.coalesce(F.col("depth"), F.lit(0)).cast("int").alias("depth")
     ).dropDuplicates(["url"])
     c = normalize_candidates(cand)
     c = admission_filter(c, profile)
-    c = robots_filter(c, robots_df)
+    c = robots_filter(c, robots_df, max_rules=robots_max_rules)
     c = is_product_url(c, profile).withColumn(
         "priority", F.when(F.col("is_product"), 0).otherwise(1).cast("int")
     )
@@ -130,8 +134,11 @@ def start_frontier_ingest(
     """Wire a streaming candidate DataFrame (url, depth) into the
     frontier. Use ``trigger(availableNow=True)`` for drain-and-stop
     (tests), default processing-time trigger for continuous ingest."""
+    mr = max_rules_per_host(robots_df)
     writer = stream_df.writeStream.foreachBatch(
-        lambda df, bid: frontier_ingest_batch(df, bid, catalog, profile, robots_df)
+        lambda df, bid: frontier_ingest_batch(
+            df, bid, catalog, profile, robots_df, robots_max_rules=mr
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
