@@ -358,13 +358,6 @@ class CrawlJob:
             F.col("priority").cast("int"),
             F.lit(rnd).cast("int").alias("discovered_round"),
         ).withColumn(BUCKET_COL, bucket_of(F.col("url_hash"), cfg.n_buckets)).cache()
-        # NB: tried folding this count into the frontier write via
-        # Observation — Spark 4.1 returns a schema-less metrics row for
-        # this plan shape (union over cached observe under a dynamic-
-        # partition overwrite) and toPyRow asserts; a plain count over
-        # the about-to-be-written cache is the reliable form
-        n_new = new_rows.count()
-
 
         # ------------------------------------------------- state commits
         # The five state tables are independent (different catalog
@@ -379,7 +372,16 @@ class CrawlJob:
         frontier2 = remainder.unionByName(new_rows)
         seen_append = new_rows.select("url_hash", "url", F.lit(rnd).alias("first_round"), BUCKET_COL)
 
-        with ThreadPoolExecutor(max_workers=6, thread_name_prefix="commit") as ex:
+        with ThreadPoolExecutor(max_workers=7, thread_name_prefix="commit") as ex:
+            # the new-candidate count rides the pool too (NB: tried
+            # folding it into the frontier write via Observation —
+            # Spark 4.1 returns a schema-less metrics row for this plan
+            # shape and toPyRow asserts; a plain count is the reliable
+            # form). Concurrent first-consumers of the new_rows cache
+            # are safe AND compute-once: BlockInfoManager write-locks
+            # each cached block, so whichever job gets there first
+            # computes it and the others block on the lock, not redo it.
+            n_new_fut = ex.submit(new_rows.count)
             # one cache-scan aggregation answers every per-round "how
             # many" the sub-commits used to probe separately (errs
             # count, items batch count, quarantine isEmpty — 3 driver
@@ -412,6 +414,7 @@ class CrawlJob:
             # .result() re-raises any commit failure before checkpoint
             _, _, n_items, _, _ = [f.result() for f in futs]
             stats = stats_fut.result()
+            n_new = n_new_fut.result()
         n_err = n_fetch - stats["n_ok_urls"]
         self._seen_count += n_new
 
