@@ -843,9 +843,14 @@ def q51(spark, sf):
 @_q(
     "q37_seen_prefilters",
     # semantics are exact (the filters are prefilters only): candidates
-    # minus seen — BOTH the bloom and cuckoo paths must produce this set;
-    # the query returns their intersection so a miss in either path
-    # breaks the oracle compare (merged q37+q41, round 4)
+    # minus seen — BOTH the bloom and cuckoo paths must produce this
+    # set. The query returns their UNION (not intersection): a prefilter
+    # bug can only produce a SUPERSET (rows are preserved and
+    # maybe_seen=true rows are exact-anti-join-corrected, so the sole
+    # failure mode is a false NEGATIVE on a seen key leaking it into
+    # definite_new) — union surfaces an extra row from either path,
+    # where intersect would mask it behind the correct one
+    # (merged q37+q41, round 4)
     "SELECT doc_id FROM documents WHERE doc_id % 2 = 1",
 )
 def q37(spark, sf):
@@ -872,7 +877,7 @@ def q37(spark, sf):
         seen, "url_hash", n_keys_hint=seen.count(), n_shards=8
     )
     via_cuckoo = new_via(lambda c: cuckoo_prefilter(c, "url_hash", cuckoo))
-    return via_bloom.intersect(via_cuckoo)
+    return via_bloom.union(via_cuckoo).distinct()
 
 
 @_q(

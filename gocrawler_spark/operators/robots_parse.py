@@ -48,13 +48,19 @@ from .frontier import _host_of
 _FIELDS = ("user-agent", "allow", "disallow", "crawl-delay")
 
 
+def _body_str(df: DataFrame, body_col: str):
+    """Body column as string — decodes binary (the pages-table shape)."""
+    body = F.col(body_col)
+    if dict(df.dtypes)[body_col] == "binary":
+        body = F.decode(body, "utf-8")
+    return body
+
+
 def robots_directives(pages: DataFrame, url_col: str = "url",
                       body_col: str = "html") -> DataFrame:
     """pages rows -> one row per directive line:
     (host, ln, field, value, is_ua). Bodies may be binary or string."""
-    body = F.col(body_col)
-    if dict(pages.dtypes)[body_col] == "binary":
-        body = F.decode(body, "utf-8")
+    body = _body_str(pages, body_col)
     lines = pages.select(
         _host_of(F.col(url_col)).alias("host"),
         F.posexplode(F.split(body, r"\r?\n")).alias("ln", "line"),
@@ -166,9 +172,7 @@ def robots_sitemaps(pages: DataFrame, url_col: str = "url",
     feeds the streaming frontier ingest (sitemap pings are the
     canonical unbounded candidate source for
     streaming/microbatch.start_frontier_ingest)."""
-    body = F.col(body_col)
-    if dict(pages.dtypes)[body_col] == "binary":
-        body = F.decode(body, "utf-8")
+    body = _body_str(pages, body_col)
     lines = pages.select(
         _host_of(F.col(url_col)).alias("host"),
         F.explode(F.split(body, r"\r?\n")).alias("line"),
@@ -196,17 +200,36 @@ def sitemap_candidates(sitemap_pages: DataFrame, url_col: str = "url",
     ``<sitemapindex>`` entries surface as rows too (their urls point at
     more sitemaps — the caller's fetch loop re-reads those). This is
     the feed ``streaming.microbatch.start_frontier_ingest`` documents:
-    robots_sitemaps -> fetch -> sitemap_candidates -> ingest."""
-    body = F.col(body_col)
-    if dict(sitemap_pages.dtypes)[body_col] == "binary":
-        body = F.decode(body, "utf-8")
+    robots_sitemaps -> fetch -> sitemap_candidates -> ingest.
+
+    The sitemaps.org protocol REQUIRES urls to be XML-entity-escaped
+    (``&`` query separators arrive as ``&amp;``) and allows CDATA
+    wrapping, so both are undone here — still pure JVM expressions."""
+    body = _body_str(sitemap_pages, body_col)
     locs = sitemap_pages.select(
         F.explode(
-            F.regexp_extract_all(body, F.lit(r"<loc>\s*([^<]+?)\s*</loc>"), 1)
-        ).alias("url")
+            F.regexp_extract_all(
+                body,
+                # plain or CDATA-wrapped loc; URLs cannot contain '<' or
+                # ']]>' so the content classes are safe
+                F.lit(r"<loc>\s*(?:<!\[CDATA\[\s*([^\]<]+?)\s*\]\]>|([^<]+?))\s*</loc>"),
+                0,
+            )
+        ).alias("raw")
     )
+    inner = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), r"^<loc>\s*(?:<!\[CDATA\[\s*)?", ""),
+        r"\s*(?:\]\]>\s*)?</loc>$", "",
+    )
+    # the five predefined XML entities; &amp; last so '&amp;lt;'
+    # decodes to the literal '&lt;' (double-escape stays correct)
+    url = inner
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        url = F.replace(url, F.lit(ent), F.lit(ch))
     return (
-        locs.filter(F.col("url") != "")
+        locs.select(url.alias("url"))
+        .filter(F.col("url") != "")
         .withColumn("depth", F.lit(0).cast("int"))
         .distinct()
     )

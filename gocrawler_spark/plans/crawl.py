@@ -372,7 +372,15 @@ class CrawlJob:
         frontier2 = remainder.unionByName(new_rows)
         seen_append = new_rows.select("url_hash", "url", F.lit(rnd).alias("first_round"), BUCKET_COL)
 
-        with ThreadPoolExecutor(max_workers=7, thread_name_prefix="commit") as ex:
+        # DEADLOCK INVARIANT: the items/quarantine lambdas BLOCK their
+        # worker on stats_fut.result(), so (a) stats must be submitted
+        # before them and (b) max_workers must be >= the total number of
+        # submitted tasks (7 today: n_new, stats, 5 commits) so every
+        # task gets a worker up front and the blocked dependents can
+        # never starve stats out of a slot. Adding a task? Bump N_COMMIT_TASKS.
+        N_COMMIT_TASKS = 7
+        with ThreadPoolExecutor(max_workers=N_COMMIT_TASKS,
+                                thread_name_prefix="commit") as ex:
             # the new-candidate count rides the pool too (NB: tried
             # folding it into the frontier write via Observation —
             # Spark 4.1 returns a schema-less metrics row for this plan
@@ -508,7 +516,7 @@ class CrawlJob:
         return n
 
     def _commit_fetch_log(self, rnd: int, extracted: DataFrame,
-                          missing: DataFrame, n_fetch: int) -> int:
+                          missing: DataFrame, n_fetch: int) -> None:
         """Request lineage rows per requestTracker.go:14-27: id, url,
         callback, error, depth, method, status, start/end/duration, plus
         the E18 header metadata and the J5 cookie-propagation column

@@ -90,8 +90,22 @@ def main():
                 prev = json.load(f)
         except Exception:
             prev = {}
+    # stamp the measured commit so a kept-best headline is visibly
+    # attributable: if the best run predates HEAD, "head_commit" on the
+    # run entries shows exactly which code produced it (keep-best masks
+    # steal-window variance, NOT code regressions — regressions show up
+    # as every post-change run entry landing below the old ones)
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        head = None
+    out["head_commit"] = head
     hist = prev.get("runs", [])
-    hist.append({k: out[k] for k in ("value", "throughput_at_N", "throughput_at_4N")})
+    hist.append({**{k: out[k] for k in ("value", "throughput_at_N", "throughput_at_4N")},
+                 "head_commit": head})
     best = out if out["value"] >= prev.get("value", -1) else prev
     best = dict(best)
     best["runs"] = hist

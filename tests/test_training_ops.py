@@ -671,15 +671,25 @@ def test_sitemap_to_frontier_ingest_end_to_end(spark, tmp_path):
     ]
 
     def urlset(urls):
+        # spec-faithful rendering: urls are XML-entity-escaped (the
+        # protocol REQUIRES it — '&' arrives as '&amp;'), and one entry
+        # per set is CDATA-wrapped to pin that form too
+        def esc(u):
+            return u.replace("&", "&amp;").replace("<", "&lt;")
+
+        entries = [f"<url><loc> {esc(u)} </loc></url>" for u in urls[:-1]]
+        entries.append(f"<url><loc><![CDATA[ {urls[-1]} ]]></loc></url>")
         return (
             '<?xml version="1.0" encoding="UTF-8"?>'
             '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-            + "".join(f"<url><loc> {u} </loc></url>" for u in urls)
+            + "".join(entries)
             + "</urlset>"
         ).encode()
 
     cands0 = [
         f"https://{h0}/Mixup/Home.aspx",
+        # literal & in the query string: rendered as &amp;, must decode back
+        f"https://{h0}/Mixup/Categoria.aspx?etq=rock&page=2",
         f"https://{h0}/Mixup/detproducto.aspx?sku=194397052312",
         "https://evil.example/Mixup/Home.aspx",   # foreign host: inadmissible
     ]
