@@ -1003,6 +1003,11 @@ def q41(spark, sf):
     # PII redaction + audit count and the Gopher repetition signals, over
     # documents augmented with deterministic synthetic PII so the
     # redaction paths actually fire
+    # known edge (documented, not hit — datagen text is non-null): a
+    # NULL-text doc is dropped by BOTH engines under ANSI mode (Spark 4
+    # default, size(NULL)=NULL -> inner-join drop; DuckDB len(NULL)
+    # likewise), but with ANSI OFF legacy size(NULL)=-1 would route it
+    # to the 0.0 branch and diverge from the oracle
     from gocrawler_spark.functions.text import (
         duplicate_line_fraction,
         pii_count,
