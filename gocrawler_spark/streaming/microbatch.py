@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.frontier import admission_filter, is_product_url, normalize_candidates
-from ..operators.robots import max_rules_per_host, robots_filter
+from ..operators.robots import compile_robots, robots_filter
 from ..profiles import SiteProfile
 from ..tables.catalog import BUCKET_COL, SnapshotCatalog, bucket_of
 
@@ -28,19 +28,19 @@ def frontier_ingest_batch(
     profile: SiteProfile,
     robots_df: DataFrame,
     n_buckets: int = 32,
-    robots_max_rules: int | None = None,
+    robots_compiled=None,
 ):
     """foreachBatch sink: admit candidates, dedup vs seen, MERGE into
     frontier + seen. Batch-mode rounds reuse the same operators.
-    ``robots_max_rules``: pass :func:`max_rules_per_host` computed once
-    at stream start — the probe is a driver action per micro-batch
-    otherwise."""
+    ``robots_compiled``: pass :func:`compile_robots` computed once at
+    stream start — the strategy probes are driver actions per
+    micro-batch otherwise."""
     cand = batch_df.select(
         "url", F.coalesce(F.col("depth"), F.lit(0)).cast("int").alias("depth")
     ).dropDuplicates(["url"])
     c = normalize_candidates(cand)
     c = admission_filter(c, profile)
-    c = robots_filter(c, robots_df, max_rules=robots_max_rules)
+    c = robots_filter(c, robots_df, compiled=robots_compiled)
     c = is_product_url(c, profile).withColumn(
         "priority", F.when(F.col("is_product"), 0).otherwise(1).cast("int")
     )
@@ -134,10 +134,10 @@ def start_frontier_ingest(
     """Wire a streaming candidate DataFrame (url, depth) into the
     frontier. Use ``trigger(availableNow=True)`` for drain-and-stop
     (tests), default processing-time trigger for continuous ingest."""
-    mr = max_rules_per_host(robots_df)
+    compiled = compile_robots(robots_df)
     writer = stream_df.writeStream.foreachBatch(
         lambda df, bid: frontier_ingest_batch(
-            df, bid, catalog, profile, robots_df, robots_max_rules=mr
+            df, bid, catalog, profile, robots_df, robots_compiled=compiled
         )
     ).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:

@@ -87,6 +87,48 @@ def test_robots_longest_prefix(spark):
     }
 
 
+def test_robots_filter_three_plans_agree(spark):
+    """The map-literal, single-rule broadcast-join, and general fold
+    plans must return identical rows on a single-rule-per-host table —
+    and the map-literal plan must actually be join-free."""
+    from gocrawler_spark.operators.robots import CompiledRobots, compile_robots
+
+    rows = [
+        {"host": "a.example", "agent": "*", "rule": "disallow", "path_prefix": "/private", "crawl_delay_ms": 0},
+        {"host": "b.example", "agent": "*", "rule": "allow", "path_prefix": "/", "crawl_delay_ms": 0},
+    ]
+    robots = robots_df(spark, rows)
+    cands = spark.createDataFrame(
+        [
+            ("https://a.example/private/x", "a.example", "/private/x"),
+            ("https://a.example/ok", "a.example", "/ok"),
+            ("https://b.example/anything", "b.example", "/anything"),
+            ("https://c.example/no-rules", "c.example", "/no-rules"),
+        ],
+        "url string, host string, path string",
+    )
+    compiled = compile_robots(robots)
+    assert compiled.max_rules == 1 and compiled.single_rule_rows is not None
+    via_map = robots_filter(cands, robots, compiled=compiled)
+    # the map plan contains no join operator
+    assert "Join" not in via_map._jdf.queryExecution().executedPlan().toString()
+    # force the single-rule JOIN path (as if the table were too big to inline)
+    via_join = robots_filter(
+        cands, robots, compiled=CompiledRobots(max_rules=1, single_rule_rows=None)
+    )
+    # force the general fold path
+    via_fold = robots_filter(
+        cands, robots, compiled=CompiledRobots(max_rules=2, single_rule_rows=None)
+    )
+    expected = {
+        "https://a.example/ok",
+        "https://b.example/anything",
+        "https://c.example/no-rules",
+    }
+    for df in (via_map, via_join, via_fold):
+        assert {r["url"] for r in df.collect()} == expected
+
+
 def test_robots_parse_semantics(spark):
     """parse_robots_pages: grouping, agent matching, comments, empty
     Disallow, fractional Crawl-delay — temoto/robotstxt semantics."""
