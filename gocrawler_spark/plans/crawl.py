@@ -177,20 +177,30 @@ class CrawlJob:
             F.lit(0).alias("depth"),
         )
         adm = self._admit(seeds).dropDuplicates(["url"])
+        # cache: the seen write and seed count would otherwise re-run
+        # the full admission plan (regex + robots) two more times
         frontier = adm.select(
             "url", "url_hash", "host", "path",
             F.col("depth").cast("int"),
             F.col("priority").cast("int"),
             F.lit(0).alias("discovered_round"),
-        ).withColumn(BUCKET_COL, bucket_of(F.col("url_hash"), self.cfg.n_buckets))
-        self.cat.overwrite("frontier", frontier, partition_by=BUCKET_COL,
-                           bucket_spec=("url_hash", self.cfg.n_buckets))
+        ).withColumn(BUCKET_COL, bucket_of(F.col("url_hash"), self.cfg.n_buckets)).cache()
         seen = frontier.select(
             "url_hash", "url", F.lit(0).alias("first_round"), BUCKET_COL
         )
-        self.cat.overwrite("seen", seen, partition_by=BUCKET_COL,
-                           bucket_spec=("url_hash", self.cfg.n_buckets))
-        self._seen_count = seen.count()
+        # independent tables, cached input: same threaded-commit shape
+        # as run_round (cache blocks are compute-once under concurrency)
+        with ThreadPoolExecutor(max_workers=3, thread_name_prefix="init") as ex:
+            f_fut = ex.submit(self.cat.overwrite, "frontier", frontier,
+                              partition_by=BUCKET_COL,
+                              bucket_spec=("url_hash", self.cfg.n_buckets))
+            s_fut = ex.submit(self.cat.overwrite, "seen", seen,
+                              partition_by=BUCKET_COL,
+                              bucket_spec=("url_hash", self.cfg.n_buckets))
+            n_fut = ex.submit(frontier.count)
+            f_fut.result(), s_fut.result()
+            self._seen_count = n_fut.result()
+        frontier.unpersist()
         self._checkpoint(round_no=0, metrics={"seeds": self._seen_count})
 
     def _assign_seq(self, fetch_set: DataFrame) -> DataFrame:
