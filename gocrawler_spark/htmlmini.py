@@ -388,12 +388,31 @@ def select(context, selector):
     # matching the compound"; skips the per-node group-walk machinery
     if len(groups) == 1 and len(groups[0]) == 1:
         comp = groups[0][0][1]
+        # hoist the compound's fields and inline the match: most nodes
+        # reject on the tag compare, so the common case is one attribute
+        # load + one string compare with no call frame
+        tag, cid = comp["tag"], comp["id"]
+        classes, cattrs = comp["classes"], comp["attrs"]
         out = []
         stack = list(reversed(context.children))
         while stack:  # inlined iter_subtree: no generator frames
             n = stack.pop()
-            if not n.is_text and _match_compound(n, comp):
-                out.append(n)
+            if not n.is_text and (tag is None or n.tag == tag):
+                ok = cid is None or n.attrs.get("id") == cid
+                if ok and classes:
+                    cls = set(n.classes())
+                    ok = all(c in cls for c in classes)
+                if ok and cattrs:
+                    for attr, op, val in cattrs:
+                        if (
+                            attr not in n.attrs
+                            or (op == "=" and n.attrs[attr] != val)
+                            or (op == "*=" and val not in n.attrs[attr])
+                        ):
+                            ok = False
+                            break
+                if ok:
+                    out.append(n)
             if n.children:
                 stack.extend(reversed(n.children))
         return out
