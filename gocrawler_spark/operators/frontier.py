@@ -54,11 +54,20 @@ def _host_of(url):
 
 def normalize_candidates(df: DataFrame) -> DataFrame:
     """Add url_hash (md5(url), scraper.go:112), host, path columns —
-    all JVM-side built-ins (no UDF)."""
+    all JVM-side built-ins (no UDF).
+
+    ``try_parse_url``, not ``parse_url``: under ANSI (Spark 4 default)
+    ``parse_url`` *throws* on RFC-invalid URLs — and real pages emit
+    hrefs with embedded spaces or double fragments ('#a#b'), which
+    absolutize into invalid URLs. One junk href out of 10^10 must yield
+    a null-host (inadmissible) row, not kill the round's stage. The
+    reference's Go net/url tolerates these too (colly request path)."""
     return (
         df.withColumn("url_hash", F.md5(F.col("url")))
         .withColumn("host", _host_of(F.col("url")))
-        .withColumn("path", F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("")))
+        .withColumn(
+            "path", F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+        )
     )
 
 

@@ -134,11 +134,18 @@ def parse_robots_pages(
         .select("host", "gid", "agent")
     )
 
+    # try_cast, not cast: the value is raw fetched robots.txt text, and
+    # under ANSI a server emitting 'Crawl-delay: 10s' would otherwise
+    # throw and kill the whole parse job. Unparseable delay lines are
+    # dropped (temoto's strconv.ParseFloat-error path likewise leaves
+    # the group delay unset) and the first *valid* line wins.
     delays = (
         grouped.filter(F.col("field") == "crawl-delay")
+        .withColumn("_dv", F.col("value").try_cast("double"))
+        .filter(F.col("_dv").isNotNull())
         .groupBy("host", "gid")
         .agg(
-            F.round(F.min_by("value", "ln").cast("double") * 1000)
+            F.round(F.min_by("_dv", "ln") * 1000)
             .cast("long")
             .alias("crawl_delay_ms")
         )

@@ -116,7 +116,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     recs = raw.mapInPandas(run, WARC_SCHEMA)
     return recs.select(
         "url",
-        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        # try_to_timestamp: WARC-Date is external-file content; under ANSI a
+        # corrupt date in one record of a 100 TB scan must yield null,
+        # not kill the stage
+        F.try_to_timestamp("warc_date", F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("warc_ts"),
         F.encode("html", "utf-8").alias("html"),
         "http_status",
         "mime",
@@ -229,7 +232,10 @@ def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
     recs = raw.mapInPandas(run, BINARY_WARC_SCHEMA)
     return recs.select(
         "url",
-        F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        # try_to_timestamp: WARC-Date is external-file content; under ANSI a
+        # corrupt date in one record of a 100 TB scan must yield null,
+        # not kill the stage
+        F.try_to_timestamp("warc_date", F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("warc_ts"),
         "html",
         "http_status",
         "mime",

@@ -144,7 +144,8 @@ def test_robots_parse_semantics(spark):
         "User-agent: gocrawler\n"
         "User-agent: otherbot\n"
         "Disallow: /bots\n"
-        "Crawl-delay: 1.5\n"
+        "Crawl-delay: 10s\n"  # unparseable (ANSI cast would throw): dropped
+        "Crawl-delay: 1.5\n"  # first VALID delay wins
         "Disallow:\n"  # empty path: no-op
         "\n"
         "User-agent: unrelated\n"
@@ -552,12 +553,19 @@ def test_warc_source_roundtrip(spark, tmp_path):
          "warc_type": "request"},  # dropped: not a response
         {"url": "https://b.example/p2", "html": "<html>dos</html>",
          "status": 404, "mime": "text/html; charset=utf-8"},
+        {"url": "https://c.example/p3", "html": "<html>tres</html>",
+         "warc_date": "not-a-timestamp"},  # corrupt date: row kept, ts null
     ]
     p = tmp_path / "crawl.warc"
     p.write_bytes(warc_bytes(records) + b"WARC/1.0\r\nbroken-no-blank-line")
     df = read_warc(spark, str(p))
     rows = {r["url"]: r for r in df.collect()}
-    assert set(rows) == {"https://a.example/p1", "https://b.example/p2"}
+    assert set(rows) == {
+        "https://a.example/p1", "https://b.example/p2", "https://c.example/p3"
+    }
+    # ANSI would throw in to_timestamp on the corrupt date; the reader
+    # must instead null the ts and keep the record (external-file input)
+    assert rows["https://c.example/p3"]["warc_ts"] is None
     r1 = rows["https://a.example/p1"]
     assert bytes(r1["html"]) == b"<html><body>uno</body></html>"
     assert r1["warc_ts"].isoformat().startswith("2021-03-04T05:06:07")
@@ -796,3 +804,38 @@ def test_host_extraction_matches_parse_url(spark):
     ).collect()
     for r in rows:
         assert r["fast"] == r["ref"], (r["url"], r["fast"], r["ref"])
+
+
+def test_normalize_tolerates_rfc_invalid_urls(spark):
+    """Real pages emit hrefs that absolutize into RFC-invalid URLs
+    (embedded spaces, '#a#b' double fragments). Under ANSI (Spark 4
+    default) the throwing parse_url would kill the whole stage on one
+    such row; normalize_candidates must instead degrade that row
+    gracefully (path '' / best-effort host) and keep the batch alive.
+    Go's net/url (the reference's colly request path) tolerates these."""
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.operators.frontier import normalize_candidates
+
+    urls = [
+        "https://h.example/a?b?c#d#e",       # '#' in fragment -> invalid URI
+        "https://h.example/path with space",  # raw space -> invalid URI
+        "https://shop001.example/Mixup/detproducto.aspx?sku=123",  # valid
+    ]
+    df = spark.createDataFrame(
+        [(u, 1, 0) for u in urls], "url string, depth int, priority int"
+    )
+    rows = {
+        r["url"]: r
+        for r in normalize_candidates(df).select("url", "url_hash", "host", "path").collect()
+    }
+    assert len(rows) == 3  # no row lost, no stage failure
+    # invalid URLs: null-tolerant path (''), host still extracted
+    assert rows["https://h.example/a?b?c#d#e"]["path"] == ""
+    assert rows["https://h.example/a?b?c#d#e"]["host"] == "h.example"
+    assert rows["https://h.example/path with space"]["path"] == ""
+    # the valid row keeps full parse semantics
+    good = rows["https://shop001.example/Mixup/detproducto.aspx?sku=123"]
+    assert good["path"] == "/Mixup/detproducto.aspx"
+    assert good["host"] == "shop001.example"
+    assert good["url_hash"] is not None
