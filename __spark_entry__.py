@@ -926,32 +926,75 @@ _QUALITY_SQL = (
 )
 
 
+_BOILER_1 = "Subscribe to our newsletter today"
+_BOILER_2 = "(c) example-site - all rights reserved"
+
 @_q(
     "q42_curation_pipeline",
-    # end-to-end corpus curation: quality gate -> exact dedup -> per-source stats
-    "WITH scored AS (SELECT doc_id, source, md5(text) AS content_hash, "
-    f"{_QUALITY_SQL} AS q FROM (SELECT *, {_TOKENIZE_SQL} AS l FROM documents) WHERE lang = 'en'), "
+    # end-to-end corpus curation: C4-style cross-corpus boilerplate line
+    # removal (lines in >= 25 distinct docs dropped; planted footer lines
+    # guarantee the stage fires) -> quality gate -> exact dedup ->
+    # per-source stats. The SQL twin re-implements line removal with
+    # generate_subscripts/unnest + NOT IN + ordered string_agg,
+    # independently of the Spark posexplode/left_anti/array_sort path.
+    "WITH aug AS (SELECT doc_id, source, lang, "
+    f" text || chr(10) || '{_BOILER_1}' || chr(10) || '{_BOILER_2}' AS text FROM documents), "
+    "lines AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line "
+    " FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug)), "
+    "hot AS (SELECT trim(line) AS key FROM lines WHERE trim(line) <> '' "
+    " GROUP BY 1 HAVING count(DISTINCT doc_id) >= 25), "
+    "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text, "
+    " count(*) AS n_kept FROM lines WHERE trim(line) NOT IN (SELECT key FROM hot) "
+    " GROUP BY doc_id), "
+    "cleaned AS (SELECT a.doc_id, a.source, a.lang, coalesce(r.text, '') AS text, "
+    " len(string_split(a.text, chr(10))) - coalesce(r.n_kept, 0) AS n_rm "
+    " FROM aug a LEFT JOIN rebuilt r USING (doc_id)), "
+    "scored AS (SELECT doc_id, source, md5(text) AS content_hash, "
+    f"{_QUALITY_SQL} AS q FROM (SELECT *, {_TOKENIZE_SQL} AS l FROM cleaned) WHERE lang = 'en'), "
     "kept AS (SELECT min(doc_id) AS doc_id, arg_min(source, doc_id) AS source, content_hash "
-    " FROM scored WHERE q >= 0.5 GROUP BY content_hash) "
-    "SELECT source, count(*) AS n_docs FROM kept GROUP BY source",
+    " FROM scored WHERE q >= 0.5 GROUP BY content_hash), "
+    "sel AS (SELECT source, count(*) AS n_docs FROM kept GROUP BY source), "
+    "rm AS (SELECT source, cast(sum(n_rm) AS bigint) AS lines_removed FROM cleaned GROUP BY source) "
+    "SELECT source, n_docs, lines_removed FROM sel JOIN rm USING (source)",
 )
 def q42(spark, sf):
-    # the composed training-data curation pipeline: language gate +
-    # quality threshold + exact dedup + per-source accounting
+    # the composed training-data curation pipeline: cross-corpus
+    # boilerplate line removal + language gate + quality threshold +
+    # exact dedup + per-source accounting. Planted footer lines appear in
+    # every doc so the hot-line detector must fire; the rebuilt text must
+    # then hash identically in both engines, which pins reassembly order.
     from pyspark.sql import Window
 
-    from gocrawler_spark.functions.text import quality_score
+    from gocrawler_spark.functions.text import (
+        boilerplate_line_filter,
+        quality_score,
+    )
 
     d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit("\n" + _BOILER_1 + "\n" + _BOILER_2),
+        ).alias("text"),
+    )
+    cleaned = boilerplate_line_filter(aug.select("doc_id", "text"), min_docs=25)
+    withmeta = cleaned.join(aug.select("doc_id", "source", "lang"), "doc_id")
     scored = (
-        d.filter(F.col("lang") == "en")
+        withmeta.filter(F.col("lang") == "en")
         .withColumn("q", quality_score(F.col("text")))
         .withColumn("content_hash", F.md5("text"))
         .filter(F.col("q") >= 0.5)
     )
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     kept = scored.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
-    return kept.groupBy("source").agg(F.count("*").alias("n_docs"))
+    sel = kept.groupBy("source").agg(F.count("*").alias("n_docs"))
+    rm = withmeta.groupBy("source").agg(
+        F.sum("n_lines_removed").cast("long").alias("lines_removed")
+    )
+    return sel.join(rm, "source")
 
 
 # the exact regex strings are shared with the Spark functions (the

@@ -168,6 +168,60 @@ def duplicate_line_fraction(col) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def boilerplate_line_filter(docs, min_docs: int = 3, text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """C4-style cross-corpus boilerplate removal: drop every line whose
+    trimmed form appears in >= ``min_docs`` DISTINCT documents (nav bars,
+    cookie banners, copyright footers). Blank lines are never counted as
+    boilerplate and always survive, so split+join stays an identity for
+    untouched docs.
+
+    Shape at 100 TB: posexplode -> groupBy(trimmed line) countDistinct
+    (high-cardinality, skew-free — the hot set is by construction the
+    *small* tail), left_anti back onto the lines (AQE broadcasts when the
+    hot set is tiny), then one groupBy(doc) to reassemble in original
+    line order. No UDFs, all JVM built-ins.
+
+    Returns (id_col, text_col, n_lines_removed); a doc whose every line
+    was boilerplate comes back with empty text, not a dropped row.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "line"),
+    ).withColumn("key", F.trim("line"))
+    hot = (
+        lines.filter(F.col("key") != "")
+        .groupBy("key")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("key")
+    )
+    kept = lines.join(hot, "key", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("_clean_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), r"\n")).alias("_n_total")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_clean_text", F.lit("")).alias(text_col),
+            (F.col("_n_total") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
 def top_ngram_fraction(docs, n: int = 2, text_col: str = "text",
                        id_col: str = "doc_id"):
     """Fraction of a doc's tokens covered by its single most frequent

@@ -831,3 +831,41 @@ def test_repetition_signals(spark):
     tg2 = {r["doc_id"]: r["top_ngram_frac"]
            for r in top_ngram_fraction(over, n=2).collect()}
     assert tg2[9] == 1.0
+
+
+def test_boilerplate_line_filter(spark):
+    """C4-style cross-corpus line removal: hot lines (>= min_docs
+    distinct docs) vanish, unique lines survive in original order,
+    blank lines are never treated as boilerplate, and an all-boilerplate
+    doc comes back empty rather than dropped."""
+    from gocrawler_spark.functions.text import boilerplate_line_filter
+
+    footer = "(c) example all rights reserved"
+    nav = "home | products | about"
+    rows = [
+        (0, f"alpha body zero\n{footer}\n{nav}"),
+        (1, f"{nav}\nbeta body one\n\nmore beta\n{footer}"),
+        (2, f"gamma body two\n{footer}"),
+        (3, f"  {footer}  \n{nav}"),      # whitespace-padded -> all removed
+        (4, "delta body four\n\n\ndelta tail"),  # blanks survive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           boilerplate_line_filter(df, min_docs=3).collect()}
+    assert out[0]["text"] == "alpha body zero" and out[0]["n_lines_removed"] == 2
+    # order preserved around removed + blank lines
+    assert out[1]["text"] == "beta body one\n\nmore beta"
+    assert out[1]["n_lines_removed"] == 2
+    # footer appears in 4 docs (hot), nav in 3 (hot at min_docs=3)
+    assert out[2]["text"] == "gamma body two" and out[2]["n_lines_removed"] == 1
+    # trim-matched: padded footer removed; all lines gone -> empty text
+    assert out[3]["text"] == "" and out[3]["n_lines_removed"] == 2
+    # blank lines never counted as boilerplate even though every doc
+    # with blanks shares them
+    assert out[4]["text"] == "delta body four\n\n\ndelta tail"
+    assert out[4]["n_lines_removed"] == 0
+    # min_docs above any line's doc-frequency -> identity transform
+    ident = {r["doc_id"]: r for r in
+             boilerplate_line_filter(df, min_docs=10).collect()}
+    assert all(ident[i]["text"] == rows[i][1] for i in range(5))
+    assert all(ident[i]["n_lines_removed"] == 0 for i in range(5))
