@@ -1003,13 +1003,22 @@ def q42(spark, sf):
 # independently in DuckDB SQL
 from gocrawler_spark.functions.text import _PII_EMAIL, _PII_IPV4, _PII_PHONE  # noqa: E402
 
+_CONTAM_SENT = (
+    "the eval benchmark asks which ancient river crosses the old capital city"
+)
+
 _PII_REP_ORACLE = f"""
-WITH aug AS (
+WITH aug0 AS (
   SELECT doc_id,
          text || ' contact u' || cast(doc_id AS varchar) || '@example.com from 10.1.'
               || cast(doc_id % 256 AS varchar) || '.' || cast(doc_id % 250 AS varchar)
               || ' tel +1 555 010 ' || lpad(cast(doc_id % 10000 AS varchar), 4, '0') AS text
   FROM documents),
+aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 3 OR doc_id % 100 = 0
+                      THEN ' {_CONTAM_SENT}' ELSE '' END AS text
+  FROM aug0),
 pii AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '{_PII_EMAIL}'))
@@ -1034,9 +1043,22 @@ counts AS (SELECT doc_id, n_tok, g, count(*) AS c FROM grams GROUP BY doc_id, n_
 topg AS (SELECT doc_id, round(least(1.0, max(c) * 2.0 / n_tok), 6) AS top_ngram_frac
          FROM counts GROUP BY doc_id, n_tok
          UNION ALL
-         SELECT doc_id, 0.0 AS top_ngram_frac FROM toks WHERE len(l) < 2)
-SELECT p.doc_id, p.n_pii, p.redacted_md5, p.dup_line_frac, t.top_ngram_frac
-FROM pii p JOIN topg t USING (doc_id)
+         SELECT doc_id, 0.0 AS top_ngram_frac FROM toks WHERE len(l) < 2),
+octo AS (SELECT doc_id,
+                unnest(list_distinct(list_transform(
+                    range(1, len(l) - 6),
+                    i -> array_to_string(l[i:i+7], ' ')))) AS g
+         FROM toks WHERE len(l) >= 8),
+bgrams AS (SELECT DISTINCT doc_id AS bench_id, g FROM octo WHERE doc_id % 100 = 0),
+contam AS (SELECT o.doc_id,
+                  count(DISTINCT o.g) AS n_contam_grams,
+                  count(DISTINCT b.bench_id) AS n_bench_docs
+           FROM octo o JOIN bgrams b ON o.g = b.g AND b.bench_id <> o.doc_id
+           GROUP BY o.doc_id)
+SELECT p.doc_id, p.n_pii, p.redacted_md5, p.dup_line_frac, t.top_ngram_frac,
+       cast(coalesce(c.n_contam_grams, 0) AS bigint) AS n_contam_grams,
+       cast(coalesce(c.n_bench_docs, 0) AS bigint) AS n_bench_docs
+FROM pii p JOIN topg t USING (doc_id) LEFT JOIN contam c USING (doc_id)
 """.replace("{tok}", _TOKENIZE_SQL)
 
 
@@ -1045,7 +1067,10 @@ def q41(spark, sf):
     # the round-3 curation additions, now oracle-checked (VERDICT r3 #2):
     # PII redaction + audit count and the Gopher repetition signals, over
     # documents augmented with deterministic synthetic PII so the
-    # redaction paths actually fire
+    # redaction paths actually fire; round 4 adds benchmark
+    # decontamination (8-gram overlap vs the doc_id%100==0 "eval set",
+    # with a planted eval sentence in doc_id%7==3 docs so the overlap
+    # detector must fire)
     # known edge (documented, not hit — datagen text is non-null): a
     # NULL-text doc is dropped by BOTH engines under ANSI mode (Spark 4
     # default, size(NULL)=NULL -> inner-join drop; DuckDB len(NULL)
@@ -1053,6 +1078,7 @@ def q41(spark, sf):
     # to the 0.0 branch and diverge from the oracle
     from gocrawler_spark.functions.text import (
         duplicate_line_fraction,
+        ngram_contamination,
         pii_count,
         redact_pii,
         top_ngram_fraction,
@@ -1072,6 +1098,13 @@ def q41(spark, sf):
             F.lit(" tel +1 555 010 "),
             F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
         ).alias("text"),
+    ).withColumn(
+        "text",
+        F.when(
+            (F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+            | (F.pmod(F.col("doc_id"), F.lit(100)) == 0),
+            F.concat(F.col("text"), F.lit(" " + _CONTAM_SENT)),
+        ).otherwise(F.col("text")),
     )
     base = aug.select(
         "doc_id",
@@ -1080,7 +1113,12 @@ def q41(spark, sf):
         duplicate_line_fraction(F.col("text")).alias("dup_line_frac"),
     )
     tg = top_ngram_fraction(aug, n=2)
-    return base.join(tg, "doc_id")
+    bench = (
+        aug.filter(F.pmod(F.col("doc_id"), F.lit(100)) == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    contam = ngram_contamination(aug, bench, n=8)
+    return base.join(tg, "doc_id").join(contam, "doc_id")
 
 
 @_q(

@@ -222,6 +222,68 @@ def boilerplate_line_filter(docs, min_docs: int = 3, text_col: str = "text",
     )
 
 
+def _word_ngrams(col_tokens, n: int) -> Column:
+    """All word n-grams of a token array as space-joined strings
+    (empty array when the doc is shorter than n tokens)."""
+    return F.when(
+        F.size(col_tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(col_tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(col_tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(docs, benchmark, n: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id", bench_id_col: str = "bench_id"):
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM overlap
+    rule): flag every training doc sharing at least one word ``n``-gram
+    with an eval-benchmark document. Returns
+    (id_col, n_contam_grams, n_bench_docs) for EVERY doc (0/0 for clean
+    ones); matches where the benchmark row IS the doc itself
+    (``bench_id == doc_id``) are excluded so a benchmark doc that also
+    appears in the corpus doesn't flag itself.
+
+    Shape at 100 TB: eval benchmarks are KB–MB scale, so the distinct
+    benchmark gram set is tiny — broadcast it; the corpus side explodes
+    array_distinct'd grams (bounded per doc) and inner-joins, then one
+    groupBy(doc). No UDFs.
+    """
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(_word_ngrams(tokens(F.col(text_col)), n))
+        ).alias("g"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.col(bench_id_col),
+            F.explode(
+                F.array_distinct(_word_ngrams(tokens(F.col(text_col)), n))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .filter(F.col(bench_id_col) != F.col(id_col))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").alias("n_contam_grams"),
+            F.countDistinct(bench_id_col).alias("n_bench_docs"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contam_grams", F.lit(0)).cast("long").alias("n_contam_grams"),
+            F.coalesce("n_bench_docs", F.lit(0)).cast("long").alias("n_bench_docs"),
+        )
+    )
+
+
 def top_ngram_fraction(docs, n: int = 2, text_col: str = "text",
                        id_col: str = "doc_id"):
     """Fraction of a doc's tokens covered by its single most frequent

@@ -869,3 +869,37 @@ def test_boilerplate_line_filter(spark):
              boilerplate_line_filter(df, min_docs=10).collect()}
     assert all(ident[i]["text"] == rows[i][1] for i in range(5))
     assert all(ident[i]["n_lines_removed"] == 0 for i in range(5))
+
+
+def test_ngram_contamination(spark):
+    """Benchmark decontamination: docs sharing a word 8-gram with the
+    eval set are flagged; self-matches (a benchmark doc present in the
+    corpus under the same id) are excluded; short docs never match."""
+    from gocrawler_spark.functions.text import ngram_contamination
+
+    eval_q = "which ancient river crosses the old capital city of the empire"
+    corpus = spark.createDataFrame(
+        [
+            (0, f"some original prose here and then {eval_q} appended"),
+            (1, "completely clean document with enough words to have many grams"),
+            (2, "tiny doc"),                       # < 8 tokens: no grams
+            (100, f"benchmark row also in corpus {eval_q}"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"benchmark row also in corpus {eval_q}")],
+        "bench_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_contamination(corpus, bench, n=8).collect()}
+    assert len(out) == 4                      # every doc gets a row
+    # eval_q has 11 words -> 4 contiguous 8-grams, all shared by doc 0
+    assert out[0]["n_contam_grams"] >= 4 and out[0]["n_bench_docs"] == 1
+    assert out[1]["n_contam_grams"] == 0 and out[1]["n_bench_docs"] == 0
+    assert out[2]["n_contam_grams"] == 0
+    # doc 100 IS the benchmark row: self-match excluded
+    assert out[100]["n_contam_grams"] == 0 and out[100]["n_bench_docs"] == 0
+    # the join side is broadcast (eval sets are small by construction)
+    plan = ngram_contamination(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
