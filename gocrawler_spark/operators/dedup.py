@@ -529,3 +529,113 @@ def embedding_cosine_dups(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring dedup: remove every token span covered by a
+    k-token window that occurs >= ``min_count`` times corpus-wide
+    (the ExactSubstr technique of Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — their suffix-array
+    match becomes a distributed window-hash join here).
+
+    Windows are case-sensitive whitespace token k-grams hashed with
+    ``xxhash64``; a window's total occurrence count (same-doc repeats
+    included, as in the paper) reaching ``min_count`` marks ALL its
+    occurrences for removal. Overlapping marked windows are merged
+    into maximal spans per doc (JVM ``aggregate`` fold over sorted
+    positions — with fixed k, sorted starts give monotone ends, so the
+    fold is a plain last-interval extend). Surviving tokens are
+    reassembled in order, single-space joined.
+
+    Scale shape (100 TB): the one big shuffle is the groupBy on the
+    64-bit window hash — high-cardinality, skew-free, map-side
+    partial counts. The explode emits one row per token position
+    (~n rows/doc) and each hash reads k tokens (O(n*k) bytes hashed,
+    all whole-stage codegen; a Rabin-Karp rolling hash would be O(n)
+    but needs a per-doc sequential pass — at k=50 the codegen concat
+    wins on simplicity and stays embarrassingly parallel). The
+    dup-hash set joins back hash-to-hash; AQE broadcasts it when the
+    duplicated fraction is small (the common case). No Python UDFs.
+
+    Returns (id_col, text_dedup, n_tokens, n_tokens_dropped, n_spans);
+    docs shorter than k tokens pass through untouched.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("t"),
+    )
+    # one (pos, hash) per window start; sequence(0, -1) descends, so guard
+    windows_expr = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - k),
+            lambda p: F.struct(
+                p.alias("pos"),
+                F.xxhash64(F.concat_ws("\x1f", F.slice("t", p + 1, k))).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+    grams = toks.select(id_col, F.explode(windows_expr).alias("w")).select(
+        id_col, "w.pos", "w.h"
+    )
+    dup_hashes = (
+        grams.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= min_count).select("h")
+    )
+    # sorted duplicated-window starts per doc, folded to disjoint spans
+    per_doc = (
+        grams.join(dup_hashes, "h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        .select(
+            id_col,
+            F.aggregate(
+                "ps",
+                F.array().cast("array<struct<s:int,e:int>>"),
+                lambda acc, p: F.when(
+                    (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["s"].alias("s"),
+                                (p + k).alias("e"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(acc, F.array(F.struct(p.alias("s"), (p + k).alias("e"))))
+                ),
+            ).alias("spans"),
+        )
+    )
+    joined = toks.join(per_doc, id_col, "left").select(
+        id_col,
+        "t",
+        F.coalesce("spans", F.array().cast("array<struct<s:int,e:int>>")).alias("spans"),
+    )
+    idx = F.when(F.size("t") > 0, F.sequence(F.lit(0), F.size("t") - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists("spans", lambda sp: (i >= sp["s"]) & (i < sp["e"])),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("t", i + 1)), " "
+        ).alias("text_dedup"),
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).alias("n_tokens_dropped"),
+        F.size("spans").alias("n_spans"),
+    )

@@ -903,3 +903,63 @@ def test_ngram_contamination(spark):
     # the join side is broadcast (eval sets are small by construction)
     plan = ngram_contamination(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def _ref_exact_substring(rows, k, min_count):
+    """Independent driver-side reference for exact_substring_dedup."""
+    toks = {i: t.split() for i, t in rows}
+    counts = {}
+    for t in toks.values():
+        for p in range(len(t) - k + 1):
+            w = tuple(t[p:p + k])
+            counts[w] = counts.get(w, 0) + 1
+    out = {}
+    for i, t in toks.items():
+        marked = [False] * len(t)
+        for p in range(len(t) - k + 1):
+            if counts[tuple(t[p:p + k])] >= min_count:
+                for j in range(p, p + k):
+                    marked[j] = True
+        kept = [w for w, m in zip(t, marked) if not m]
+        spans = sum(
+            1 for j in range(len(t)) if marked[j] and (j == 0 or not marked[j - 1])
+        )
+        out[i] = (" ".join(kept), len(t), len(t) - len(kept), spans)
+    return out
+
+
+def test_exact_substring_dedup(spark):
+    from gocrawler_spark.operators.dedup import exact_substring_dedup
+
+    boiler = " ".join(f"b{j}" for j in range(12))  # 12-token shared paragraph
+    rows = [
+        (0, "alpha beta gamma " + boiler + " delta epsilon"),
+        (1, "zeta eta " + boiler + " theta iota kappa " + boiler),  # twice in-doc
+        (2, "totally unique words nothing shared here at all ok fine"),
+        (3, "x0 x1 x2 x3 x4 x5 x6 x7"),  # shorter than k -> untouched
+        (4, ""),  # empty doc
+    ]
+    k, mc = 10, 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_tokens_dropped"], r["n_spans"])
+        for r in exact_substring_dedup(docs, k=k, min_count=mc).collect()
+    }
+    want = _ref_exact_substring(rows, k, mc)
+    assert got == want
+    # the planted paragraph is gone from every occurrence
+    for i in (0, 1):
+        assert "b0" not in got[i][0] and got[i][2] > 0
+    assert got[2][0] == rows[2][1] and got[2][2] == 0  # unique doc untouched
+    assert got[3] == (rows[3][1], 8, 0, 0)  # shorter than k
+    assert got[4] == ("", 0, 0, 0)
+    # same-doc repetition alone reaches min_count (doc 5 repeats itself)
+    self_rep = " ".join(f"s{j}" for j in range(10))
+    solo = spark.createDataFrame(
+        [(9, self_rep + " mid " + self_rep)], "doc_id long, text string"
+    )
+    out9 = exact_substring_dedup(solo, k=10, min_count=2).collect()[0]
+    assert out9["text_dedup"] == "mid" and out9["n_spans"] == 2
+    # stays JVM-side: no row-at-a-time Python in the plan
+    plan = exact_substring_dedup(docs, k=k, min_count=mc)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
