@@ -1,0 +1,86 @@
+"""URL canonicalization for seen-dedup and frontier hygiene.
+
+Crawlers meet the same resource under many spellings — uppercase hosts,
+explicit default ports, tracking query params, shuffled param order,
+fragments. Canonicalizing before `url_hash` (frontier.normalize_
+candidates) collapses those into one seen-filter entry, directly cutting
+refetches at 100 TB frontier scale. The reference crawler dedups on the
+raw URL string (pkg/scraper/scraper.go:112 md5(url)); this operator is
+the extension a web-scale frontier needs on top.
+
+Everything is JVM built-ins (substring_index / split / filter /
+array_sort) — one expression tree, whole-stage-codegen friendly, no
+UDFs. Percent-encoding normalization and IDN are deliberately out of
+scope (they need a real codec, not string ops); rules applied:
+
+ - scheme and host lowercased; userinfo dropped (crawlers don't fetch
+   credentialed URLs); fragment dropped
+ - default ports stripped (http:80, https:443); other ports kept
+ - empty path becomes '/'
+ - query params: empties and tracking keys (utm_*, gclid, fbclid,
+   msclkid, mc_eid, igshid, ref, ref_src — case-insensitive) removed,
+   the rest sorted byte-lexicographically; all params gone -> no '?'
+ - non-absolute URLs (no '://') and empty hosts yield NULL — feed
+   absolutized URLs (extract.absolutize) in
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = ["canonical_url", "TRACKING_KEY_RE"]
+
+TRACKING_KEY_RE = r"(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)$"
+
+_BIG = 1 << 20  # longer than any URL; substr length bound
+
+
+def canonical_url(url, tracking_key_re: str = TRACKING_KEY_RE) -> Column:
+    u = F.col(url) if isinstance(url, str) else url
+    scheme_raw = F.substring_index(u, "://", 1)
+    scheme = F.lower(scheme_raw)
+    # everything after the first '://' (substr, not substring_index(-1):
+    # query values may themselves contain '://')
+    rest = u.substr(F.length(scheme_raw) + F.lit(4), F.lit(_BIG))
+    authority = F.substring_index(
+        F.substring_index(F.substring_index(rest, "/", 1), "?", 1), "#", 1
+    )
+    no_user = F.substring_index(authority, "@", -1)
+    is_v6 = no_user.startswith("[")
+    host = F.lower(
+        F.when(
+            is_v6, F.concat(F.substring_index(no_user, "]", 1), F.lit("]"))
+        ).otherwise(F.substring_index(no_user, ":", 1))
+    )
+    after_host = F.when(is_v6, F.substring_index(no_user, "]", -1)).otherwise(
+        F.when(no_user.contains(":"), F.concat(F.lit(":"), F.substring_index(no_user, ":", -1))).otherwise(F.lit(""))
+    )
+    port = F.when(after_host.startswith(":"), after_host.substr(F.lit(2), F.lit(_BIG))).otherwise(F.lit(""))
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    after_auth = rest.substr(F.length(authority) + F.lit(1), F.lit(_BIG))
+    before_frag = F.substring_index(after_auth, "#", 1)
+    path = F.substring_index(before_frag, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        before_frag.contains("?"),
+        before_frag.substr(F.instr(before_frag, "?") + F.lit(1), F.lit(_BIG)),
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (F.length(p) > 0)
+            & ~F.substring_index(p, "=", 1).rlike(tracking_key_re),
+        )
+    )
+    query_part = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        u.contains("://") & (host != "") & host.isNotNull(),
+        F.concat(scheme, F.lit("://"), host, port_part, path, query_part),
+    )

@@ -43,6 +43,7 @@ from pyspark.sql.types import (
 
 from ..operators.bloom import Bloom, bloom_prefilter, build_bloom
 from ..operators.extraction import ITEM_TYPE, extract_fetched
+from ..functions.urlnorm import canonical_url
 from ..operators.frontier import admission_filter, is_product_url, normalize_candidates
 from ..operators.politeness import select_fetch_set
 from ..operators.robots import compile_robots, robots_filter
@@ -125,6 +126,12 @@ class CrawlConfig:
     # host-prefix length for the two-level seq prefix sum (36^K groups
     # upper-bounds the level-2 single-partition window)
     seq_prefix_len: int = 3
+    # opt-in URL canonicalization (functions/urlnorm.py) before
+    # admission: collapses scheme/host case, default ports, fragments
+    # and tracking params into one seen-filter entry. Default off — the
+    # reference dedups on the RAW url string (scraper.go:112) and the
+    # byte-parity suite pins that
+    canonicalize_urls: bool = False
 
 
 class CrawlJob:
@@ -163,6 +170,14 @@ class CrawlJob:
 
     def _admit(self, cand: DataFrame) -> DataFrame:
         """F1+F2+F6 then robots (F5). cand must have url/depth columns."""
+        if self.cfg.canonicalize_urls:
+            # canonical form BEFORE url_hash/admission so every alias of
+            # a URL maps to one frontier + seen entry; non-absolute URLs
+            # canonicalize to NULL and drop here (they are inadmissible
+            # in the default path too — null host)
+            cand = cand.withColumn("url", canonical_url(F.col("url"))).where(
+                F.col("url").isNotNull()
+            )
         c = normalize_candidates(cand)
         c = admission_filter(c, self.profile, self.cfg.max_depth)
         c = robots_filter(c, self._robots_df, compiled=self._robots_compiled)
