@@ -839,3 +839,52 @@ def test_normalize_tolerates_rfc_invalid_urls(spark):
     assert good["path"] == "/Mixup/detproducto.aspx"
     assert good["host"] == "shop001.example"
     assert good["url_hash"] is not None
+
+
+def test_warc_sink_roundtrip(spark, tmp_path):
+    """write_warc -> read_warc_binary roundtrips pages byte-exactly:
+    gzip-member and uncompressed segments, one file per partition,
+    executor-side writes, empty partitions emit no file."""
+    from gocrawler_spark.sources.warc import read_warc_binary, write_warc
+
+    rows = [
+        (
+            f"https://s{i % 3}.example/p{i}",
+            f"2021-06-0{1 + i % 5}T01:02:03Z",
+            f"<html><body>pg {i} WARC/1.0\r\n embedded marker</body></html>".encode(),
+            200 if i % 4 else 404,
+            "text/html; charset=utf-8",
+        )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts string, html binary, http_status int, mime string"
+    ).selectExpr(
+        "url", "to_timestamp(ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\") as warc_ts",
+        "html", "http_status", "mime"
+    )
+    out = tmp_path / "segments"
+    out.mkdir()
+    # 5 partitions over 30 rows + 3 forced-empty partitions
+    manifest = write_warc(df.repartition(8), str(out)).collect()
+    import os
+
+    files = sorted(os.listdir(out))
+    assert [m["path"].split("/")[-1] for m in sorted(manifest, key=lambda m: m["path"])] == files
+    assert sum(m["n_records"] for m in manifest) == 30
+    assert all(f.endswith(".warc.gz") for f in files)
+    back = read_warc_binary(spark, str(out / "*.warc.gz"))
+    got = {r["url"]: r for r in back.collect()}
+    assert len(got) == 30
+    for url, ts, html, status, mime in rows:
+        r = got[url]
+        assert bytes(r["html"]) == html
+        assert r["http_status"] == status
+        assert r["mime"] == mime
+        assert r["warc_ts"].isoformat().startswith(ts[:19])
+    # uncompressed variant roundtrips too and is deterministic
+    out2 = tmp_path / "plain"
+    out2.mkdir()
+    m2 = write_warc(df.repartition(2), str(out2), gzip_members=False).collect()
+    assert sum(m["n_records"] for m in m2) == 30
+    assert read_warc_binary(spark, str(out2 / "*.warc")).count() == 30
