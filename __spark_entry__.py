@@ -486,21 +486,28 @@ def q47(spark, sf):
     )
 
 
-@_q("q22_minhash_lsh")  # rows-only: xxhash64 signatures have no DuckDB twin
+@_q("q22_sketch_near_pairs")  # rows-only: xxhash64 sketches have no DuckDB twin
 def q22(spark, sf):
-    from gocrawler_spark.operators.dedup import minhash_lsh_pairs
+    # merged q22+q24 (round 4, second merge wave): BOTH hash-sketch
+    # near-dup paths in one gate row — minhash-LSH band-blocked pairs
+    # (exact-Jaccard-verified) and simhash pigeonhole-chunk pairs (incl.
+    # the 63-bit JVM simhash aggregate, r2's q23). A bug in either
+    # sketch changes this union's rows; per-path pytest pins stay
+    # (planted-pair regression tests in test_training_ops).
+    from gocrawler_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf, "documents"), num_perm=64, bands=16, threshold=0.85)
-
-
-@_q("q24_simhash_pairs")  # rows-only (xxhash64 has no DuckDB twin)
-def q24(spark, sf):
-    # exercises BOTH simhash() (63-bit JVM aggregate; r2's separate q23
-    # folded in for the driver's 50-row gate) and the pigeonhole
-    # chunk-blocked pairing
-    from gocrawler_spark.operators.dedup import simhash_near_pairs
-
-    return simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=8)
+    docs = _t(spark, sf, "documents")
+    mh = minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.85).select(
+        "a", "b",
+        F.col("jaccard").cast("double").alias("measure"),
+        F.lit("minhash_lsh").alias("sketch"),
+    )
+    sh = simhash_near_pairs(docs, max_hamming=8).select(
+        "a", "b",
+        F.col("hamming").cast("double").alias("measure"),
+        F.lit("simhash").alias("sketch"),
+    )
+    return mh.unionByName(sh)
 
 
 _ANN_ORACLE = """
@@ -797,7 +804,7 @@ def q35(spark, sf):
     return img_rows.unionByName(vid_rows).unionByName(aud_rows)
 
 
-@_q("q52_warc_source")
+@_q("q52_external_sources")
 def q52(spark, sf):
     # WARC ingestion via the Common-Crawl-faithful binary reader:
     # documents rendered into a PER-MEMBER-GZIPPED synthetic WARC
@@ -824,20 +831,28 @@ def q52(spark, sf):
         for r in records:
             f.write(gzip.compress(warc_bytes([r])))
     pages = read_warc_binary(spark, path)
-    return pages.select("url", "http_status", "mime", F.length("html").alias("n_bytes"))
-
-
-@_q("q51_proxy_list_source")
-def q51(spark, sf):
-    # S11 — proxy-list scrape source (switcher.go:75-146): fetch (pages
-    # row) + table extraction, the last SURVEY §2.1 row
+    # merged q51+q52 (round 4, second merge wave): both external-source
+    # readers in one gate row under a common (src, url, info, n) shape —
+    # the WARC binary reader (Common Crawl framing) and the S11
+    # proxy-list scrape source (switcher.go:75-146). Per-source pytest
+    # coverage stays (WARC fixtures, test_proxy_list_extract).
     from gocrawler_spark.datagen import PROXY_LIST_HTML, PROXY_LIST_URL
     from gocrawler_spark.operators.extraction import proxy_list_rows
 
-    pages = spark.createDataFrame(
+    proxy_pages = spark.createDataFrame(
         [(PROXY_LIST_URL, PROXY_LIST_HTML.encode())], "url string, html binary"
     )
-    return proxy_list_rows(pages)
+    warc_rows = pages.select(
+        F.lit("warc").alias("src"), "url",
+        F.col("mime").alias("info"),
+        F.col("http_status").cast("long").alias("n"),
+    )
+    proxy_rows = proxy_list_rows(proxy_pages).select(
+        F.lit("proxy").alias("src"), F.col("src_url").alias("url"),
+        F.col("ip").alias("info"),
+        F.col("port").cast("long").alias("n"),
+    )
+    return warc_rows.unionByName(proxy_rows)
 
 
 @_q(
@@ -924,6 +939,56 @@ _QUALITY_SQL = (
     "+ 0.2 * greatest(1.0 - (CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) ELSE 0.0 END) * 5, 0.0) "
     "+ 0.2 * (CASE WHEN len(l) > 0 AND list_aggregate(list_transform(l, x -> length(x)), 'sum') * 1.0 / len(l) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END), 6)"
 )
+
+
+@_q(
+    "q56_pack_token_budget",
+    # training-shard assignment: global exclusive token prefix-sum in
+    # md5(doc_id:0) order, shard = offset // budget. The Spark side is
+    # a TWO-LEVEL prefix sum (hash-prefix groups, then one tiny window
+    # over group totals — plans/crawl.py's seq pattern); the oracle is
+    # the straightforward single-window form, so the equivalence of the
+    # distributed decomposition is exactly what the hash check proves.
+    f"SELECT doc_id, n_tokens, "
+    f"CAST(start_offset AS BIGINT) AS start_offset, "
+    f"CAST(start_offset // 1000 AS BIGINT) AS shard_id, "
+    f"(n_tokens > 0 AND (start_offset % 1000) + n_tokens > 1000) AS crosses_boundary "
+    f"FROM (SELECT doc_id, n_tokens, "
+    f"  COALESCE(SUM(n_tokens) OVER (ORDER BY ord, doc_id "
+    f"    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset "
+    f"  FROM (SELECT doc_id, CAST(len({_TOKENIZE_SQL}) AS BIGINT) AS n_tokens, "
+    f"        md5(CAST(doc_id AS VARCHAR) || ':0') AS ord FROM documents))",
+)
+def q56(spark, sf):
+    from gocrawler_spark.operators.pack import pack_token_budget
+
+    return pack_token_budget(_t(spark, sf, "documents"), budget=1000).select(
+        "doc_id", "n_tokens", "start_offset", "shard_id", "crosses_boundary"
+    )
+
+
+@_q(
+    "q57_stratified_sample",
+    # exact-quota training mix: deterministic md5(doc_id:mix)-ordered
+    # row_number <= quota per lang (quotas all below stratum sizes at
+    # sf0.01: en 218, es 73, de 70 docs)
+    "SELECT doc_id, lang FROM ("
+    "  SELECT d.doc_id, d.lang, q.quota, "
+    "         row_number() OVER (PARTITION BY d.lang "
+    "           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':mix'), d.doc_id) AS rn "
+    "  FROM documents d JOIN (VALUES ('en', 40), ('es', 25), ('de', 10)) "
+    "       AS q(lang, quota) ON d.lang = q.lang"
+    ") WHERE rn <= quota",
+)
+def q57(spark, sf):
+    from gocrawler_spark.operators.sample import sample_stratified_exact
+
+    quotas = spark.createDataFrame(
+        [("en", 40), ("es", 25), ("de", 10)], "lang string, quota int"
+    )
+    return sample_stratified_exact(
+        _t(spark, sf, "documents"), quotas, ["lang"], id_col="doc_id", seed="mix"
+    ).select("doc_id", "lang")
 
 
 _BOILER_1 = "Subscribe to our newsletter today"
