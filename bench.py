@@ -219,6 +219,95 @@ def bench_fetch_join(spark):
     return time.time() - t0, {"groups": n}
 
 
+def bench_trap_scan(spark):
+    """Crawl-trap detection over the full synthetic frontier: distinct-
+    URL dedup + (host, template) structural collapse + per-host rollup.
+    The frontier is machine-generated by construction, so every host
+    collapses to a handful of templates — the worst case for the
+    detector's shuffle (all N_FRONTIER rows survive to the distinct)."""
+    from gocrawler_spark.operators.traps import host_trap_stats
+
+    cand = synthetic_frontier(spark, N_FRONTIER, 200).cache()
+    n = cand.count()
+
+    def run():
+        return (
+            host_trap_stats(cand, min_urls=1000, max_urls_per_template=200)
+            .agg(
+                F.count(F.lit(1)).alias("hosts"),
+                F.sum(F.col("is_trap").cast("int")).alias("traps"),
+            )
+            .collect()[0]
+        )
+
+    for _ in range(WARMUP):
+        run()
+    best, row = None, None
+    for _ in range(REPS):
+        t0 = time.time()
+        row = run()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    cand.unpersist()
+    return best, {
+        "urls_in": n,
+        "hosts": row["hosts"],
+        "trap_hosts": row["traps"],
+        "urls_per_sec": round(n / best, 1),
+    }
+
+
+def bench_recrawl(spark):
+    """Revisit scheduling over a synthetic fetch history: N_FRONTIER//4
+    urls x 4 fetches -> per-URL change-rate estimation (lag window with
+    one tiny partition per url) + politeness top-k selection
+    (WindowGroupLimit). Half the URLs change every fetch, half never."""
+    from gocrawler_spark.operators.recrawl import (
+        recrawl_priorities,
+        select_recrawl_set,
+    )
+
+    n_urls = max(N_FRONTIER // 4, 1000)
+    hist = (
+        synthetic_frontier(spark, n_urls, 200)
+        .select("url")
+        .withColumn("f", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+        .select(
+            "url",
+            (F.col("f") * 3600.0).alias("fetch_ts"),
+            F.md5(
+                F.concat(
+                    F.col("url"),
+                    F.when(
+                        F.pmod(F.xxhash64("url"), 2) == 0, F.col("f").cast("string")
+                    ).otherwise(F.lit("static")),
+                )
+            ).alias("content_hash"),
+        )
+        .cache()
+    )
+    n = hist.count()
+
+    def run():
+        pri = recrawl_priorities(hist, now=4 * 3600.0)
+        return select_recrawl_set(pri, per_host_budget=256).count()
+
+    for _ in range(WARMUP):
+        run()
+    best, n_sel = None, 0
+    for _ in range(REPS):
+        t0 = time.time()
+        n_sel = run()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    hist.unpersist()
+    return best, {
+        "history_rows": n,
+        "selected": n_sel,
+        "rows_per_sec": round(n / best, 1),
+    }
+
+
 def main():
     spark = get_spark(cpus=CPUS, app_name="gocrawler-bench",
                       shuffle_partitions=max(CPUS * 2, 16))
@@ -228,6 +317,8 @@ def main():
         "minhash_lsh": bench_minhash,
         "ann_bruteforce": bench_ann,
         "fetch_join": bench_fetch_join,
+        "trap_scan": bench_trap_scan,
+        "recrawl": bench_recrawl,
     }
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     times, extras = {}, {}
@@ -238,10 +329,11 @@ def main():
         times[name] = round(dt, 3)
         extras[name] = extra
         print(f"# {name}: {dt:.2f}s {extra}", file=sys.stderr)
+    headline = "schedule_dedupe" in extras
     out = {
-        "metric": "urls_scheduled_deduped_per_sec",
-        "value": extras.get("schedule_dedupe", {}).get("urls_per_sec", sum(times.values())),
-        "unit": "urls/sec" if "schedule_dedupe" in extras else "sec",
+        "metric": "urls_scheduled_deduped_per_sec" if headline else "total_bench_sec",
+        "value": extras.get("schedule_dedupe", {}).get("urls_per_sec", round(sum(times.values()), 3)),
+        "unit": "urls/sec" if headline else "sec",
         "queries": times,
         "sf": os.path.basename(SF_DIR.rstrip("/")),
         "parallelism": CPUS,

@@ -27,9 +27,9 @@ Scale notes (100 TB / 10^10 edges):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["host_link_graph", "pagerank", "rank_priorities"]
+__all__ = ["host_link_graph", "pagerank", "rank_priorities", "anchor_text_topk"]
 
 
 def host_link_graph(
@@ -174,4 +174,53 @@ def rank_priorities(ranks: DataFrame, levels: int = 10) -> DataFrame:
     return ranks.withColumn(
         "priority",
         F.size(F.filter(thresholds, lambda t: F.col("rank") > t)).cast("int"),
+    )
+
+
+def anchor_text_topk(
+    links: DataFrame,
+    k: int = 5,
+    dst_col: str = "dst_url",
+    text_col: str = "anchor_text",
+    src_host_col: str | None = "src_host",
+) -> DataFrame:
+    """Top-k anchor texts per link target — the classic off-page signal
+    (anchor text describes the TARGET better than the target's own page;
+    every large-scale web corpus and search stack aggregates it).
+
+    Input: one row per extracted link (target URL, anchor text, and
+    optionally the linking host). Anchor text is normalized (trim +
+    whitespace collapse + lowercase); empty/null anchors are dropped.
+    Output: (dst, anchor, n_links, n_hosts, rn) — the k most frequent
+    anchors per target, rn = 1 the most frequent, n_hosts the number of
+    DISTINCT linking hosts backing the anchor (1 when `src_host_col` is
+    None), so downstream quality filters can ignore single-host anchor
+    spam.
+
+    Scale notes (10^10 links): one (dst, anchor) aggregation with
+    map-side partial count + count_distinct, then a top-k window whose
+    literal bound plans as WindowGroupLimit (map-side partial top-k
+    below the dst shuffle) — never a global sort. Ordering inside a
+    target is deterministic: count desc, hosts desc, anchor asc.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    anchor = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    rows = links.select(
+        F.col(dst_col).alias("dst"),
+        anchor.alias("anchor"),
+        (
+            F.col(src_host_col) if src_host_col else F.lit("")
+        ).alias("_src_host"),
+    ).where(F.col("anchor").isNotNull() & (F.col("anchor") != ""))
+    agg = rows.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct(F.col("_src_host")).alias("n_hosts"),
+    )
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("n_hosts").desc(), F.col("anchor").asc()
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.lit(k))
     )

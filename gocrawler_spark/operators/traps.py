@@ -1,0 +1,149 @@
+"""Crawl-trap detection: flag hosts whose URL space is exploding.
+
+The reference crawler bounds its blast radius per run with an allowed-
+domain list and a URL-pattern gate (pkg/scraper/scraper.go admission
+rules), but nothing protects a web-scale frontier from *algorithmic* URL
+spaces — calendar pages, session-id links, faceted navigation — where
+one host manufactures unbounded distinct URLs that all render the same
+content. At 10^10 frontier rows a single trap host can eat a politeness
+budget for weeks.
+
+The classic signature of a trap is that its URLs are machine-generated:
+collapsing the volatile tokens (digit runs, long hex ids, query VALUES)
+leaves only a handful of *templates*, each backing thousands of distinct
+URLs. Hand-written URL spaces (article slugs, category trees) keep high
+template diversity. So:
+
+    template  = path with digit-runs -> {d}, long-hex -> {h}
+                + '?' + sorted distinct query KEYS (values dropped)
+    trap host = some template backs >= max_urls_per_template distinct
+                URLs (and the host has >= min_urls URLs overall)
+
+Everything is JVM built-ins (regexp_replace / regexp_extract_all /
+array ops) — no UDFs, no driver-side URL loop.
+
+Scale notes (100 TB / 10^10 URLs):
+ - Stage 1 groups by (host, template, url) only to dedupe candidate
+   multiplicity, then (host, template) counts distinct URLs; both
+   aggregations partial-aggregate map-side and the second input is
+   already tiny (template cardinality << URL cardinality by
+   construction — that is the point of templating).
+ - The per-host rollup (stage 2) touches one row per (host, template).
+ - No windows, no broadcast, no skew pivot: a trap host's millions of
+   URLs spread over the url-bearing shuffle like any other rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .frontier import _host_of
+
+__all__ = ["url_templates", "host_trap_stats", "trap_hosts"]
+
+# a volatile token: >=8 hex chars standing alone between non-hex
+# neighbours (session ids, content hashes, UUID fragments)
+_HEX_RUN = r"(?<![0-9a-fA-F])[0-9a-fA-F]{8,}(?![0-9a-fA-F])"
+
+
+def url_templates(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Add (host, template) to a URL DataFrame.
+
+    template = structural skeleton of path + query: long hex runs ->
+    '{h}' first (they contain digits, so the order matters), then digit
+    runs -> '{d}', then '?' + the url's sorted distinct query KEYS —
+    two URLs differing only in volatile ids or query values share a
+    template. URLs without '://' get a null host (same contract as
+    normalize_candidates) and are dropped by the per-host rollups.
+    """
+    url = F.col(url_col)
+    # path+query = everything from the first '/' after the authority,
+    # fragment stripped; URLs with a bare authority get path '/'
+    after_scheme = F.substring_index(url, "://", -1)  # host/path?q#f
+    slash = F.instr(after_scheme, "/")
+    pathq = F.when(
+        slash > 0, after_scheme.substr(slash, F.length(after_scheme))
+    ).otherwise(F.lit("/"))
+    pathq = F.substring_index(pathq, "#", 1)
+    path = F.substring_index(pathq, "?", 1)
+    qpos = F.instr(pathq, "?")
+    has_q = qpos > 0
+    # substr from the FIRST '?', so a literal '?' inside a query value
+    # stays in the query (substring_index(.., '?', -1) would cut at the
+    # last one)
+    query = F.when(has_q, pathq.substr(qpos + 1, F.length(pathq))).otherwise(
+        F.lit("")
+    )
+    tmpl_path = F.regexp_replace(
+        F.regexp_replace(path, _HEX_RUN, "{h}"), "[0-9]+", "{d}"
+    )
+    keys = F.array_sort(
+        F.array_distinct(
+            F.regexp_extract_all(query, F.lit("(?:^|&)([^=&#]+)"), F.lit(1))
+        )
+    )
+    template = F.when(
+        has_q, F.concat(tmpl_path, F.lit("?"), F.array_join(keys, "&"))
+    ).otherwise(tmpl_path)
+    return urls.withColumn("host", _host_of(url)).withColumn("template", template)
+
+
+def host_trap_stats(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 1000,
+    max_urls_per_template: int = 200,
+) -> DataFrame:
+    """Per-host URL-space explosion stats + trap flag.
+
+    Output: (host, n_urls, n_templates, max_template_urls,
+    urls_per_template, is_trap). `is_trap` is true when the host has at
+    least `min_urls` distinct URLs AND some single template backs
+    `max_urls_per_template`-or-more of them. Null-host rows (relative /
+    junk URLs) are excluded — admission drops them anyway.
+    """
+    per_template = (
+        url_templates(urls, url_col)
+        # null host = no scheme (parse_url contract); '' = empty
+        # authority ('https:///x') — neither is crawlable
+        .where(F.col("host").isNotNull() & (F.col("host") != ""))
+        .select("host", "template", F.col(url_col).alias("url"))
+        .distinct()
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("t_urls"))
+    )
+    return (
+        per_template.groupBy("host")
+        .agg(
+            F.sum("t_urls").alias("n_urls"),
+            F.count(F.lit(1)).alias("n_templates"),
+            F.max("t_urls").alias("max_template_urls"),
+        )
+        .withColumn(
+            "urls_per_template",
+            (F.col("n_urls") / F.col("n_templates")).cast("double"),
+        )
+        .withColumn(
+            "is_trap",
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (F.col("max_template_urls") >= F.lit(max_urls_per_template)),
+        )
+    )
+
+
+def trap_hosts(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 1000,
+    max_urls_per_template: int = 200,
+) -> DataFrame:
+    """Just the flagged hosts — anti-joinable onto the frontier the same
+    way the robots disallow set is (operators/robots.py), e.g.::
+
+        cands.join(trap_hosts(cands), "host", "left_anti")
+    """
+    return (
+        host_trap_stats(urls, url_col, min_urls, max_urls_per_template)
+        .where(F.col("is_trap"))
+        .select("host")
+    )

@@ -114,3 +114,43 @@ def test_rank_priorities_monotone(spark):
     assert len(set(prios)) == 10
     with _pt.raises(ValueError):
         rank_priorities(ranks, levels=1)
+
+
+def test_anchor_text_topk_matches_reference(spark):
+    from gocrawler_spark.operators.graph import anchor_text_topk
+
+    # (src_host, dst_url, anchor_text) — messy whitespace/case variants
+    # of the same anchor must merge; empty/null anchors drop
+    links = [
+        ("a.example", "https://t.example/p", "Best  Widgets"),
+        ("b.example", "https://t.example/p", "best widgets "),
+        ("b.example", "https://t.example/p", "BEST\twidgets"),
+        ("a.example", "https://t.example/p", "widgets"),
+        ("c.example", "https://t.example/p", "widgets"),
+        ("c.example", "https://t.example/p", "spam anchor"),
+        ("c.example", "https://t.example/p", "spam anchor"),
+        ("c.example", "https://t.example/p", "spam anchor"),
+        ("a.example", "https://t.example/p", ""),
+        ("a.example", "https://t.example/p", None),
+        ("a.example", "https://u.example/q", "other page"),
+    ]
+    df = spark.createDataFrame(
+        links, "src_host string, dst_url string, anchor_text string"
+    ).repartition(4)
+    got = [
+        (r["dst"], r["anchor"], r["n_links"], r["n_hosts"], r["rn"])
+        for r in anchor_text_topk(df, k=2).orderBy("dst", "rn").collect()
+    ]
+    # independent expectation: normalize + count by hand
+    # t.example/p: 'best widgets' x3 (hosts a,b), 'spam anchor' x3 (host c),
+    #              'widgets' x2 — top-2 ties broken by n_hosts desc, anchor asc
+    assert got == [
+        ("https://t.example/p", "best widgets", 3, 2, 1),
+        ("https://t.example/p", "spam anchor", 3, 1, 2),
+        ("https://u.example/q", "other page", 1, 1, 1),
+    ]
+    plan = anchor_text_topk(df, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    with pytest.raises(ValueError):
+        anchor_text_topk(df, k=0)
