@@ -308,6 +308,59 @@ def bench_recrawl(spark):
     }
 
 
+def bench_quality_dsir(spark):
+    """CCNet-style perplexity scoring + DSIR selection over the sf
+    documents corpus (replicated distributively to bench volume): train
+    a bigram LM + target feature distribution on a ~5% trusted slice,
+    perplexity-score and tercile-bucket the remainder, DSIR-weight it
+    against the trusted target, and gumbel-top-k select the top 10%."""
+    from gocrawler_spark.operators.dsir import (
+        dsir_select, fit_feature_dist, importance_weights,
+    )
+    from gocrawler_spark.operators.quality import (
+        ccnet_buckets, perplexity, train_bigram_lm,
+    )
+
+    reps = int(os.environ.get("SPARK_GRAFT_QUALITY_REPS", "20"))
+    base = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text")
+    corpus = (
+        base.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+        .select(
+            (F.col("doc_id") * reps + F.col("r")).alias("doc_id"), "text"
+        )
+        .repartition(CPUS * 2)
+        .cache()
+    )
+    n_docs = corpus.count()
+    trusted = corpus.filter(F.pmod(F.xxhash64("doc_id"), 20) == 0)
+    rest = corpus.filter(F.pmod(F.xxhash64("doc_id"), 20) != 0)
+
+    t0 = time.time()
+    lm = train_bigram_lm(trusted)
+    scored = perplexity(rest, lm).cache()
+    tiers = {
+        r["ppl_bucket"]: r["n"]
+        for r in ccnet_buckets(scored)
+        .groupBy("ppl_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    t_dist, r_dist = fit_feature_dist(trusted), fit_feature_dist(rest)
+    w = importance_weights(rest, t_dist, r_dist)
+    n_sel = dsir_select(w, n=max(n_docs // 10, 1)).count()
+    dt = time.time() - t0
+    for c in (lm, t_dist, r_dist):
+        c.unpersist()
+    scored.unpersist()
+    corpus.unpersist()
+    return dt, {
+        "docs": n_docs,
+        "tiers": tiers,
+        "selected": n_sel,
+        "docs_per_sec": round(n_docs / dt, 1),
+    }
+
+
 def main():
     spark = get_spark(cpus=CPUS, app_name="gocrawler-bench",
                       shuffle_partitions=max(CPUS * 2, 16))
@@ -319,6 +372,7 @@ def main():
         "fetch_join": bench_fetch_join,
         "trap_scan": bench_trap_scan,
         "recrawl": bench_recrawl,
+        "quality_dsir": bench_quality_dsir,
     }
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     times, extras = {}, {}
