@@ -460,6 +460,7 @@ def simhash_near_pairs(
 # one place to grow numeric guards)
 from .similarity import _dot as _vec_dot  # noqa: E402
 from .similarity import _norm as _vec_norm  # noqa: E402
+from .similarity import ivf_assign, kmeans_centroids  # noqa: E402
 
 
 def embedding_cosine_dups(
@@ -639,3 +640,75 @@ def exact_substring_dedup(
         (F.size("t") - F.size(kept)).alias("n_tokens_dropped"),
         F.size("spans").alias("n_spans"),
     )
+
+
+def semdedup_pairs(
+    emb: DataFrame,
+    n_clusters: int,
+    threshold: float = 0.95,
+    kmeans_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023): k-means the
+    embedding space, then compare pairs ONLY within a cluster.
+
+    The paper's observation is that semantic duplicates land in the
+    same k-means cell, so the O(N^2) global comparison collapses to
+    sum-of-squares over cells — pick ``n_clusters`` so the expected cell
+    size keeps the per-cell self-join tractable (paper: 11k clusters
+    for 233M docs). Clustering reuses `similarity.kmeans_centroids`
+    (deterministic init, Arrow-vectorized assignment); the within-cell
+    join + exact cosine verify are JVM built-ins. The assignment is
+    localCheckpoint'd so the pandas-UDF assign stage runs once, not
+    once per join side.
+
+    Returns (a, b, cos, centroid_id) with a < b and cos >= threshold.
+    """
+    cents = kmeans_centroids(
+        emb, n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = (
+        ivf_assign(emb, cents, vec_col=vec_col, id_col=id_col)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                "centroid_id")
+        .localCheckpoint()
+    )
+    a = assigned.select(
+        F.col("_id").alias("a"), F.col("_v").alias("_va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col("_id").alias("b"), F.col("_v").alias("_vb"), "centroid_id"
+    )
+    cos = _vec_dot(F.col("_va"), F.col("_vb")) / (
+        _vec_norm(F.col("_va")) * _vec_norm(F.col("_vb"))
+    )
+    return (
+        a.join(b, "centroid_id")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= F.lit(float(threshold)))
+        .select("a", "b", "cos", "centroid_id")
+    )
+
+
+def semdedup(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_clusters: int,
+    threshold: float = 0.95,
+    kmeans_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus after SemDeDup pruning: within every k-means cell, docs
+    whose embeddings are near-identical (cos >= threshold) collapse to
+    one representative (min-id canonical via the shared
+    connected-components + keep-canonical path, consistent with the
+    other dedup operators; the paper keeps the member farthest from the
+    centroid instead — swap the keep rule by consuming
+    `semdedup_pairs` directly if that variant is wanted)."""
+    pairs = semdedup_pairs(
+        emb, n_clusters, threshold, kmeans_iters, vec_col, id_col
+    )
+    return dedup_keep_canonical(docs, pairs.select("a", "b"), id_col=id_col)

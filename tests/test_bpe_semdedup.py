@@ -1,0 +1,165 @@
+"""Distributed BPE training vs an independent pure-Python Sennrich
+reference (identical tie-break + greedy-merge semantics), and SemDeDup
+vs brute-force cosine pairs."""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from gocrawler_spark.operators.bpe import bpe_segment, learn_bpe, word_counts
+from gocrawler_spark.operators.dedup import semdedup, semdedup_pairs
+
+CORPUS = [
+    (0, "low lower lowest low low"),
+    (1, "new newer newest new"),
+    (2, "wide wider widest new low"),
+    (3, "low low low newer"),
+    (4, ""),  # empty doc
+]
+
+
+# ---------- independent Sennrich reference ----------
+
+def _ref_word_counts(texts):
+    c = Counter()
+    for t in texts:
+        c.update(w for w in t.lower().split() if w)
+    return c
+
+
+def _ref_merge_word(sym, a, b):
+    out = []
+    for s in sym:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _ref_learn_bpe(wc, n_merges, min_pair_count=2):
+    vocab = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, sym in vocab.items():
+            for x, y in zip(sym, sym[1:]):
+                pairs[(x, y)] += wc[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        vocab = {w: _ref_merge_word(s, a, b) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def test_learn_bpe_matches_sennrich_reference(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    wc = word_counts(docs)
+    merges, vocab = learn_bpe(wc, n_merges=12)
+
+    ref_wc = _ref_word_counts([t for _, t in CORPUS])
+    ref_merges, ref_vocab = _ref_learn_bpe(ref_wc, 12)
+    assert merges == ref_merges
+    assert len(merges) > 3  # the planted corpus must actually train
+    got_vocab = {r["word"]: (r["sym"], r["count"]) for r in vocab.collect()}
+    assert set(got_vocab) == set(ref_vocab)
+    for w, sym in ref_vocab.items():
+        assert got_vocab[w][0] == sym, w
+        assert got_vocab[w][1] == ref_wc[w]
+
+
+def test_learn_bpe_stops_when_no_pair_repeats(spark):
+    wc = spark.createDataFrame([("ab", 1), ("cd", 1)], "word string, count long")
+    merges, vocab = learn_bpe(wc, n_merges=10, min_pair_count=2)
+    assert merges == []  # every pair occurs once -> below min_pair_count
+    got = {r["word"]: r["sym"] for r in vocab.collect()}
+    assert got == {"ab": ["a", "b", "</w>"], "cd": ["c", "d", "</w>"]}
+
+
+def test_bpe_segment_seen_and_oov(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges, vocab = learn_bpe(word_counts(docs), n_merges=12)
+    to_seg = spark.createDataFrame(
+        [(100, "low lowest zebra"), (101, ""), (102, "low low")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_segment(to_seg, vocab).collect()}
+
+    ref_merges, ref_vocab = _ref_learn_bpe(
+        _ref_word_counts([t for _, t in CORPUS]), 12
+    )
+    def ref_seg(word):
+        # seen words take the trained segmentation; OOV fall back to chars
+        return ref_vocab.get(word, list(word) + ["</w>"])
+    assert got[100] == ref_seg("low") + ref_seg("lowest") + ref_seg("zebra")
+    assert got[101] == []
+    assert got[102] == ref_seg("low") * 2
+    assert got[100].count("</w>") >= 1  # OOV fallback carries the marker
+
+
+def test_bpe_plans_stay_jvm(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    wc = word_counts(docs)
+    merges, vocab = learn_bpe(wc, n_merges=3)
+    seg = bpe_segment(docs, vocab)
+    seg.collect()
+    assert "BatchEvalPython" not in seg._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in vocab._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------- SemDeDup ----------
+
+def _vec(seed, dims=8):
+    # deterministic unit-ish vector
+    return [math.sin(seed * (i + 1) * 0.7) + 0.01 * i for i in range(dims)]
+
+
+def _cos(u, v):
+    d = sum(a * b for a, b in zip(u, v))
+    return d / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v)))
+
+
+def test_semdedup_matches_bruteforce_pairs(spark):
+    # two far-apart groups; inside each, planted near-identical vectors
+    base_a, base_b = _vec(1), _vec(9)
+    vecs = {
+        0: base_a,
+        1: [x + 1e-4 for x in base_a],            # near-dup of 0
+        2: [x * 1.0001 for x in base_a],          # near-dup of 0 and 1
+        3: base_b,
+        4: [x + 1e-4 for x in base_b],            # near-dup of 3
+        5: _vec(5),                               # unique
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "doc_id long, embedding array<double>"
+    )
+    # n_clusters=2: deterministic_centroids seeds by md5(vec_id) order —
+    # md5("4") < md5("1") < the rest — one seed per planted group, so
+    # k-means keeps the groups intact and within-group recall is exact.
+    # (With n_clusters=3 all three seeds land inside group A and the
+    # near-dup group straddles cells — the boundary recall loss the
+    # SemDeDup paper accepts by using large cells.)
+    got = {(r["a"], r["b"]) for r in
+           semdedup_pairs(emb, n_clusters=2, threshold=0.999).collect()}
+    want_all = {
+        (i, j)
+        for i in vecs for j in vecs
+        if i < j and _cos(vecs[i], vecs[j]) >= 0.999
+    }
+    # exact: every brute-force pair is within-group, groups share a cell
+    assert got == want_all
+    assert {(0, 1), (0, 2), (1, 2), (3, 4)} <= got
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in vecs], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in
+                  semdedup(docs, emb, n_clusters=2, threshold=0.999).collect())
+    assert kept == [0, 3, 5]  # min-id canonical per component
