@@ -122,22 +122,6 @@ def q02(spark, sf):
 
 
 @_q(
-    "q03_seen_antijoin",
-    "SELECT DISTINCT user_id, cast(ts AS date) AS day FROM events e1 "
-    "WHERE event_type = 'click' AND NOT EXISTS ("
-    " SELECT 1 FROM events e2 WHERE e2.event_type = 'purchase' "
-    " AND e2.user_id = e1.user_id AND cast(e2.ts AS date) = cast(e1.ts AS date))",
-)
-def q03(spark, sf):
-    # J4/F4 — the URL-seen anti-join shape: (user, day) pairs that
-    # clicked but did not purchase that day
-    e = _t(spark, sf, "events").withColumn("day", F.col("ts").cast("date"))
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "day")
-    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "day")
-    return clicks.join(purchases, ["user_id", "day"], "left_anti").distinct()
-
-
-@_q(
     "q04_politeness_window",
     "SELECT user_id, event_id, rk FROM ("
     " SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk"
@@ -222,30 +206,20 @@ def q08(spark, sf):
 
 
 @_q(
-    "q09_currency_cents",
-    "SELECT l_orderkey, l_linenumber, cast(floor(l_extendedprice*100+0.5) AS bigint) AS price_cents "
+    "q09_currency",
+    "SELECT l_orderkey, l_linenumber, cast(floor(l_extendedprice*100+0.5) AS bigint) AS price_cents, "
+    "printf('$%.2f', cast(floor(l_extendedprice*100+0.5) AS bigint)/100.0) AS price_str "
     "FROM lineitem",
 )
 def q09(spark, sf):
-    # E13 — item.ToCurrency truncation (currency.go:10-12)
-    l = _t(spark, sf, "lineitem")
-    return l.select(
-        "l_orderkey", "l_linenumber",
-        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("price_cents"),
-    )
-
-
-@_q(
-    "q10_currency_format",
-    "SELECT l_orderkey, l_linenumber, "
-    "printf('$%.2f', cast(floor(l_extendedprice*100+0.5) AS bigint)/100.0) AS price_str FROM lineitem",
-)
-def q10(spark, sf):
-    # E13 — Currency.String() '$%.2f' (currency.go:28-33)
+    # E13 — item.ToCurrency truncation (currency.go:10-12) + the
+    # Currency.String() '$%.2f' rendering (currency.go:28-33); former
+    # q09+q10 merged (round-4 third merge wave) to free a gate slot
     l = _t(spark, sf, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
     return l.select(
         "l_orderkey", "l_linenumber",
+        cents.alias("price_cents"),
         F.format_string("$%.2f", cents / 100.0).alias("price_str"),
     )
 
@@ -261,41 +235,36 @@ def q11(spark, sf):
 
 
 @_q(
-    "q12_upsert_last_wins",
-    "SELECT user_id, event_id AS last_event_id, value AS last_value FROM ("
+    "q12_upsert_semantics",
+    "WITH lw AS (SELECT user_id, event_id AS last_event_id, value AS last_value FROM ("
     " SELECT user_id, event_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk"
-    " FROM events) WHERE rk = 1",
+    " FROM events) WHERE rk = 1), "
+    "fw AS (SELECT user_id, props AS first_props FROM ("
+    " SELECT user_id, props, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk"
+    " FROM events) WHERE rk = 1) "
+    "SELECT user_id, last_event_id, last_value, first_props FROM lw JOIN fw USING (user_id)",
 )
 def q12(spark, sf):
-    # S5 — within-batch dedup before MERGE (HMSET last-wins)
+    # S5 — BOTH upsert disciplines in one per-key row: HMSET last-wins
+    # (within-batch dedup before MERGE) and HSETNX first-writer-wins
+    # details (repository.go:64-69); former q12+q13 merged (round-4
+    # third merge wave) to free a gate slot
     from pyspark.sql import Window
 
     e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        e.withColumn("rk", F.row_number().over(w))
+    wl = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    last = (
+        e.withColumn("rk", F.row_number().over(wl))
         .filter("rk = 1")
         .select("user_id", F.col("event_id").alias("last_event_id"), F.col("value").alias("last_value"))
     )
-
-
-@_q(
-    "q13_details_first_wins",
-    "SELECT user_id, props AS first_props FROM ("
-    " SELECT user_id, props, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk"
-    " FROM events) WHERE rk = 1",
-)
-def q13(spark, sf):
-    # S5 — HSETNX first-writer-wins details (repository.go:64-69)
-    from pyspark.sql import Window
-
-    e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        e.withColumn("rk", F.row_number().over(w))
+    first = (
+        e.withColumn("rk", F.row_number().over(wf))
         .filter("rk = 1")
         .select("user_id", F.col("props").alias("first_props"))
     )
+    return last.join(first, "user_id")
 
 
 @_q(
@@ -453,36 +422,36 @@ def _cluster_cte() -> str:
 
 @_q(
     "q46_dedup_clusters",
-    _cluster_cte() + " SELECT id AS doc_id, cluster FROM clusters",
+    _cluster_cte() + " SELECT d.doc_id, d.source, c.cluster, "
+    "(c.id IS NULL OR c.id = c.cluster) AS is_canonical "
+    "FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id",
 )
 def q46(spark, sf):
-    # near-dup clustering: connected components over exact-Jaccard pairs
+    # near-dup clustering AND canonical dedup in one per-doc row:
+    # connected components over exact-Jaccard pairs (cluster label, NULL
+    # for unclustered docs) + the keep-canonical survivor flag from
+    # dedup_keep_canonical's anti-join; former q46+q47 merged (round-4
+    # fourth merge wave) to free a gate slot
     from gocrawler_spark.operators.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
-    )
-
-    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.85, n=3)
-    return connected_components(pairs).select(F.col("id").alias("doc_id"), "cluster")
-
-
-@_q(
-    "q47_dedup_canonical",
-    _cluster_cte() + " SELECT source, count(*) AS n_docs FROM documents "
-    "WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster) "
-    "GROUP BY source",
-)
-def q47(spark, sf):
-    # corpus after near-dup removal: keep the min-id member per cluster
-    from gocrawler_spark.operators.dedup import (
         dedup_keep_canonical,
         ngram_jaccard_pairs,
     )
 
     docs = _t(spark, sf, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.85, n=3)
-    return dedup_keep_canonical(docs, pairs).groupBy("source").agg(
-        F.count("*").alias("n_docs")
+    cc = connected_components(pairs).select(F.col("id").alias("doc_id"), "cluster")
+    surv = dedup_keep_canonical(docs, pairs).select(
+        "doc_id", F.lit(True).alias("_kept")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(cc, "doc_id", "left")
+        .join(surv, "doc_id", "left")
+        .select(
+            "doc_id", "source", "cluster",
+            F.coalesce("_kept", F.lit(False)).alias("is_canonical"),
+        )
     )
 
 
@@ -591,74 +560,49 @@ _HITS = {k: f"len(list_filter(l, x -> x IN {v}))" for k, v in _SW.items()}
 
 
 @_q(
-    "q28_lang_id",
+    "q28_text_stats",
     f"SELECT doc_id, CASE "
     f" WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'"
     f" WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'"
     f" WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'"
-    f" WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_guess "
-    f"FROM (SELECT doc_id, {_HITS['de']} AS h_de, {_HITS['en']} AS h_en, "
-    f"{_HITS['es']} AS h_es, {_HITS['fr']} AS h_fr "
-    f"FROM (SELECT doc_id, {_TOKENIZE_SQL} AS l FROM documents))",
-)
-def q28(spark, sf):
-    from gocrawler_spark.functions.text import lang_id
-
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
-
-
-@_q(
-    "q29_token_stats",
-    "SELECT doc_id, len(l) AS n_tokens, "
+    f" WHEN h_es >= h_fr THEN 'es' ELSE 'fr' END AS lang_guess, "
+    "len(l) AS n_tokens, "
     "len(regexp_extract_all(text, '[a-zA-Z]+(?:''[a-zA-Z]+)?|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe, "
     "round(CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) ELSE 0.0 END, 6) AS punct_ratio, "
-    "round(CASE WHEN len(l) > 0 THEN list_aggregate(list_transform(l, x -> length(x)), 'sum') * 1.0 / len(l) ELSE 0.0 END, 6) AS mean_word_len "
-    f"FROM (SELECT doc_id, text, {_TOKENIZE_SQL} AS l FROM documents)",
+    "round(CASE WHEN len(l) > 0 THEN list_aggregate(list_transform(l, x -> length(x)), 'sum') * 1.0 / len(l) ELSE 0.0 END, 6) AS mean_word_len, "
+    f"round(CASE WHEN len(l) > 0 THEN h_en * 1.0 / len(l) ELSE 0.0 END, 6) AS sw_ratio, "
+    "md5(array_to_string(l, ' ')) AS fp, "
+    "CASE WHEN len(l) >= 5 THEN list_aggregate(list_transform(range(1, len(l)-3), i -> md5(array_to_string(l[i:i+4], ' '))), 'min') "
+    " ELSE md5(array_to_string(l, ' ')) END AS shingle_fp "
+    f"FROM (SELECT doc_id, text, l, {_HITS['de']} AS h_de, {_HITS['en']} AS h_en, "
+    f"{_HITS['es']} AS h_es, {_HITS['fr']} AS h_fr "
+    f"FROM (SELECT doc_id, text, {_TOKENIZE_SQL} AS l FROM documents))",
 )
-def q29(spark, sf):
+def q28(spark, sf):
+    # the whole per-doc text-analysis surface in one scan: lang-id,
+    # token/BPE counts, punct + mean-word-len, stopword ratio, doc +
+    # min-shingle fingerprints; former q28+q29+q30+q31 merged (round-4
+    # third merge wave) to free three gate slots for the curation ops
     from gocrawler_spark.functions.text import (
         bpe_token_count,
+        fingerprint,
+        lang_id,
         mean_word_len,
         punct_ratio,
+        shingle_fingerprint,
+        stopword_ratio,
         token_count,
     )
 
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
         token_count(F.col("text")).alias("n_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpe"),
         punct_ratio(F.col("text")).alias("punct_ratio"),
         mean_word_len(F.col("text")).alias("mean_word_len"),
-    )
-
-
-@_q(
-    "q30_stopword_ratio",
-    f"SELECT doc_id, round(CASE WHEN len(l) > 0 THEN {_HITS['en']} * 1.0 / len(l) ELSE 0.0 END, 6) AS sw_ratio "
-    f"FROM (SELECT doc_id, {_TOKENIZE_SQL} AS l FROM documents)",
-)
-def q30(spark, sf):
-    from gocrawler_spark.functions.text import stopword_ratio
-
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", stopword_ratio(F.col("text"), "en").alias("sw_ratio"))
-
-
-@_q(
-    "q31_fingerprint",
-    "SELECT doc_id, md5(array_to_string(l, ' ')) AS fp, "
-    "CASE WHEN len(l) >= 5 THEN list_aggregate(list_transform(range(1, len(l)-3), i -> md5(array_to_string(l[i:i+4], ' '))), 'min') "
-    " ELSE md5(array_to_string(l, ' ')) END AS shingle_fp "
-    f"FROM (SELECT doc_id, {_TOKENIZE_SQL} AS l FROM documents)",
-)
-def q31(spark, sf):
-    from gocrawler_spark.functions.text import fingerprint, shingle_fingerprint
-
-    d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
+        stopword_ratio(F.col("text"), "en").alias("sw_ratio"),
         fingerprint(F.col("text")).alias("fp"),
         shingle_fingerprint(F.col("text"), 5).alias("shingle_fp"),
     )
@@ -865,13 +809,17 @@ def q52(spark, sf):
     # failure mode is a false NEGATIVE on a seen key leaking it into
     # definite_new) — union surfaces an extra row from either path,
     # where intersect would mask it behind the correct one
-    # (merged q37+q41, round 4)
-    "SELECT doc_id FROM documents WHERE doc_id % 2 = 1",
+    # (merged q37+q41 round 4; + the exact shuffle-hash anti-join leg,
+    # former q03, round-4 fourth merge wave — each leg tagged so a leak
+    # names its path)
+    "SELECT doc_id, path FROM documents, "
+    "(VALUES ('bloom'), ('cuckoo'), ('exact')) AS p(path) WHERE doc_id % 2 = 1",
 )
 def q37(spark, sf):
-    # F4/A6 — bloom (per-partition build + treeAggregate merge) AND the
-    # sharded cuckoo variant, each returning the definite-new subset of
-    # a candidate list vs a seen set, intersection-compared
+    # F4/A6/J4 — bloom (per-partition build + treeAggregate merge), the
+    # sharded cuckoo variant, AND the exact shuffle-hash anti-join, each
+    # returning the definite-new subset of a candidate list vs a seen
+    # set, path-tagged
     from gocrawler_spark.operators.bloom import bloom_prefilter, build_bloom
     from gocrawler_spark.operators.cuckoo import build_cuckoo_sharded, cuckoo_prefilter
 
@@ -892,7 +840,17 @@ def q37(spark, sf):
         seen, "url_hash", n_keys_hint=seen.count(), n_shards=8
     )
     via_cuckoo = new_via(lambda c: cuckoo_prefilter(c, "url_hash", cuckoo))
-    return via_bloom.union(via_cuckoo).distinct()
+    via_exact = (
+        cands.join(seen, "url_hash", "left_anti")
+        .select("doc_id")
+        .hint("shuffle_hash")
+    )
+    return (
+        via_bloom.withColumn("path", F.lit("bloom"))
+        .union(via_cuckoo.withColumn("path", F.lit("cuckoo")))
+        .union(via_exact.withColumn("path", F.lit("exact")))
+        .distinct()
+    )
 
 
 @_q(
@@ -1397,6 +1355,360 @@ def q55(spark, sf):
         )
     )
     return _drain_stream(host_budget_admit(stream, budget_per_host=7), "update")
+
+
+# --- round-4 third wave: oracle rows for the frontier-analytics +
+# --- curation operators (slots freed by the q09+q10 / q12+q13 /
+# --- q28..q31 merges above) ------------------------------------------------
+
+_RECRAWL_NOW = 10050.0  # just past sf0.01's max event_id — ages stay small
+
+_RECRAWL_ORACLE = (
+    "WITH hist AS (SELECT 'https://h' || (user_id % 37) || '.example/u/' || user_id AS url, "
+    " cast(event_id AS double) AS ts, md5(event_type) AS h FROM events), "
+    "lagged AS (SELECT url, ts, h, lag(h) OVER (PARTITION BY url ORDER BY ts, h) AS prev_h FROM hist), "
+    "agg AS (SELECT url, count(*) AS n_fetches, "
+    " cast(sum(CASE WHEN prev_h IS NOT NULL AND h <> prev_h THEN 1 ELSE 0 END) AS bigint) AS n_changes, "
+    " max(ts) - min(ts) AS span, max(ts) AS last_ts FROM lagged GROUP BY url), "
+    "rates AS (SELECT url, n_fetches, n_changes, span, last_ts, "
+    " CASE WHEN n_fetches > 1 THEN -ln((n_fetches - 1 - n_changes + 0.5) / (n_fetches - 1 + 0.5)) ELSE 0.0 END AS lambda_hat FROM agg), "
+    "r2 AS (SELECT url, n_fetches, n_changes, span, last_ts, lambda_hat, "
+    " CASE WHEN n_fetches > 1 AND span > 0 THEN lambda_hat / (span / (n_fetches - 1)) ELSE 0.0 END AS change_rate FROM rates) "
+    "SELECT url, n_fetches, n_changes, round(lambda_hat, 6) AS lambda6, round(change_rate, 9) AS rate9, "
+    f"round(CASE WHEN n_fetches > 1 AND span > 0 THEN 1.0 - exp(-change_rate * greatest({_RECRAWL_NOW} - last_ts, 0.0)) ELSE 0.5 END, 6) AS p6 "
+    "FROM r2"
+)
+
+
+@_q("q58_recrawl_rates", _RECRAWL_ORACLE)
+def q58(spark, sf):
+    # Cho & Garcia-Molina change-rate estimation + revisit probability
+    # (operators/recrawl.py) over a fetch history derived from events:
+    # one URL per user, fetch time = event_id (any monotonic unit),
+    # content hash flips when event_type flips
+    from gocrawler_spark.operators.recrawl import recrawl_priorities
+
+    e = _t(spark, sf, "events")
+    hist = e.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 37).cast("string"),
+            F.lit(".example/u/"), F.col("user_id").cast("string"),
+        ).alias("url"),
+        F.col("event_id").cast("double").alias("fetch_ts"),
+        F.md5(F.col("event_type")).alias("content_hash"),
+    )
+    pri = recrawl_priorities(hist, now=_RECRAWL_NOW)
+    return pri.select(
+        "url", "n_fetches", "n_changes",
+        F.round("lambda_hat", 6).alias("lambda6"),
+        F.round("change_rate", 9).alias("rate9"),
+        F.round("p_changed", 6).alias("p6"),
+    )
+
+
+_ANCHOR_LINKS_SQL = (
+    "SELECT 'https://t' || (event_id % 211) || '.example/p/' || (event_id % 17) AS dst_url, "
+    "CASE WHEN event_id % 3 = 0 THEN upper(event_type) "
+    " WHEN event_id % 5 = 0 THEN ' ' || event_type || '  link' "
+    " ELSE event_type END AS anchor_text, "
+    "'h' || (user_id % 23) AS src_host FROM events"
+)
+
+_ANCHOR_ORACLE = (
+    f"WITH links AS ({_ANCHOR_LINKS_SQL}), "
+    "norm AS (SELECT dst_url AS dst, lower(regexp_replace(trim(anchor_text), '\\s+', ' ', 'g')) AS anchor, src_host FROM links), "
+    "agg AS (SELECT dst, anchor, count(*) AS n_links, count(DISTINCT src_host) AS n_hosts "
+    " FROM norm WHERE anchor <> '' GROUP BY 1, 2) "
+    "SELECT dst, anchor, n_links, n_hosts, cast(rn AS int) AS rn FROM ("
+    " SELECT *, row_number() OVER (PARTITION BY dst ORDER BY n_links DESC, n_hosts DESC, anchor) AS rn FROM agg)"
+    " WHERE rn <= 3"
+)
+
+
+@_q("q59_anchor_topk", _ANCHOR_ORACLE)
+def q59(spark, sf):
+    # off-page anchor-text aggregation (operators/graph.anchor_text_topk)
+    # over links derived from events; anchors vary in case/whitespace so
+    # the normalize-then-merge step is exercised
+    from gocrawler_spark.operators.graph import anchor_text_topk
+
+    e = _t(spark, sf, "events")
+    links = e.select(
+        F.concat(
+            F.lit("https://t"), (F.col("event_id") % 211).cast("string"),
+            F.lit(".example/p/"), (F.col("event_id") % 17).cast("string"),
+        ).alias("dst_url"),
+        F.when(F.col("event_id") % 3 == 0, F.upper(F.col("event_type")))
+        .when(F.col("event_id") % 5 == 0, F.concat(F.lit(" "), F.col("event_type"), F.lit("  link")))
+        .otherwise(F.col("event_type"))
+        .alias("anchor_text"),
+        F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias("src_host"),
+    )
+    return anchor_text_topk(links, k=3)
+
+
+# trap corpus: users % 4 == 0 crawl two calendar-trap hosts (every URL a
+# fresh (digit-run, hex-session) pair under ONE structural template);
+# everyone else browses 50 benign hosts whose URL space is small and
+# template-diverse. Hex ids occupy FULL path segments, so the DuckDB
+# twin can template per-segment (RE2 has no lookarounds for the Spark
+# side's standalone-hex-run boundary rule; the adversarial boundary
+# battery lives in tests/test_traps.py).
+_TRAP_URL_SQL = (
+    "CASE WHEN user_id % 4 = 0 THEN "
+    " 'https://cal' || (event_id % 2) || '.example/d/' || (event_id % 2000) || '/' || substr(md5(cast(event_id AS varchar)), 1, 16) || '?s=' || substr(md5(cast(event_id AS varchar)), 1, 12) || '&p=' || (event_id % 7) "
+    "ELSE "
+    " 'https://b' || (user_id % 50) || '.example/' || event_type || '/' || (event_id % 5) || '/' || (user_id % 11) "
+    "END"
+)
+
+_TRAP_ORACLE = (
+    f"WITH urls AS (SELECT {_TRAP_URL_SQL} AS url FROM events), "
+    "parts AS (SELECT url, substr(url, 9) AS hp FROM urls), "
+    "split1 AS (SELECT url, string_split(hp, '/')[1] AS host, substr(hp, length(string_split(hp, '/')[1]) + 1) AS pathq FROM parts), "
+    "split2 AS (SELECT url, host, string_split(pathq, '?')[1] AS path, "
+    " CASE WHEN strpos(pathq, '?') > 0 THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query, "
+    " strpos(pathq, '?') > 0 AS has_q FROM split1), "
+    "tmpl AS (SELECT url, host, "
+    " array_to_string(list_transform(string_split(path, '/'), s -> "
+    "  CASE WHEN regexp_matches(s, '^[0-9a-fA-F]{8,}$') THEN '{h}' ELSE regexp_replace(s, '[0-9]+', '{d}', 'g') END), '/') "
+    " || CASE WHEN has_q THEN '?' || array_to_string(list_sort(list_distinct(regexp_extract_all(query, '(?:^|&)([^=&#]+)', 1))), '&') ELSE '' END AS template "
+    " FROM split2), "
+    "per_t AS (SELECT host, template, count(*) AS t_urls FROM (SELECT DISTINCT host, template, url FROM tmpl) GROUP BY 1, 2) "
+    "SELECT host, cast(sum(t_urls) AS bigint) AS n_urls, count(*) AS n_templates, max(t_urls) AS max_template_urls, "
+    "round(cast(sum(t_urls) AS double) / count(*), 6) AS upt6, "
+    "(sum(t_urls) >= 100 AND max(t_urls) >= 50) AS is_trap "
+    "FROM per_t GROUP BY host"
+)
+
+
+@_q("q60_trap_hosts", _TRAP_ORACLE)
+def q60(spark, sf):
+    # URL-template crawl-trap detection (operators/traps.py): per-host
+    # URL-space explosion stats + trap flag over the planted corpus
+    from gocrawler_spark.operators.traps import host_trap_stats
+
+    e = _t(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    trap_url = F.concat(
+        F.lit("https://cal"), (F.col("event_id") % 2).cast("string"),
+        F.lit(".example/d/"), (F.col("event_id") % 2000).cast("string"),
+        F.lit("/"), F.substring(F.md5(eid), 1, 16),
+        F.lit("?s="), F.substring(F.md5(eid), 1, 12),
+        F.lit("&p="), (F.col("event_id") % 7).cast("string"),
+    )
+    benign_url = F.concat(
+        F.lit("https://b"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".example/"), F.col("event_type"),
+        F.lit("/"), (F.col("event_id") % 5).cast("string"),
+        F.lit("/"), (F.col("user_id") % 11).cast("string"),
+    )
+    urls = e.select(
+        F.when(F.col("user_id") % 4 == 0, trap_url).otherwise(benign_url).alias("url")
+    )
+    stats = host_trap_stats(urls, min_urls=100, max_urls_per_template=50)
+    return stats.select(
+        "host", "n_urls", "n_templates", "max_template_urls",
+        F.round("urls_per_template", 6).alias("upt6"), "is_trap",
+    )
+
+
+# CCNet-style bigram-LM perplexity (operators/quality.py), trained on the
+# doc_id % 7 == 0 slice and scoring every doc — the DuckDB twin recomputes
+# the same add-1 model end-to-end (counts, V, context marginals, backoff)
+_PPL_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, list_prepend('<s>', {_TOKENIZE_SQL}) AS p FROM documents), "
+    "idx AS (SELECT doc_id, p, unnest(range(1, len(p))) AS i FROM tok), "
+    "grams AS (SELECT doc_id, p[i] AS w1, p[i + 1] AS w2 FROM idx), "
+    "counts AS (SELECT w1, w2, count(*) AS c12 FROM grams WHERE doc_id % 7 = 0 GROUP BY 1, 2), "
+    "v AS (SELECT count(DISTINCT w2) + 1 AS v FROM counts), "
+    "ctx AS (SELECT w1, cast(sum(c12) AS double) AS c1 FROM counts GROUP BY 1), "
+    "bi AS (SELECT w1, w2, ln((c12 + 1.0) / (c1 + (SELECT v FROM v))) AS logp FROM counts JOIN ctx USING (w1)), "
+    "ctxu AS (SELECT w1, ln(1.0 / (c1 + (SELECT v FROM v))) AS ctx_logp_unseen FROM ctx), "
+    "lp AS (SELECT g.doc_id, coalesce(bi.logp, ctxu.ctx_logp_unseen, ln(1.0 / (SELECT v FROM v))) AS lp "
+    " FROM grams g LEFT JOIN bi ON g.w1 = bi.w1 AND g.w2 = bi.w2 LEFT JOIN ctxu ON g.w1 = ctxu.w1), "
+    "scored AS (SELECT doc_id, count(lp) AS n_bigrams, exp(-avg(lp)) AS ppl FROM lp GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, round(ln(s.ppl), 6) AS nll6, round(s.ppl, 3) AS ppl3 "
+    "FROM documents d LEFT JOIN scored s USING (doc_id)"
+)
+
+
+@_q("q61_perplexity", _PPL_ORACLE)
+def q61(spark, sf):
+    from gocrawler_spark.operators.quality import perplexity, train_bigram_lm
+
+    d = _t(spark, sf, "documents")
+    lm = train_bigram_lm(d.where(F.col("doc_id") % 7 == 0), k=1.0)
+    scored = perplexity(d, lm)
+    return scored.select(
+        "doc_id", "n_bigrams",
+        F.round(F.log("ppl"), 6).alias("nll6"),
+        F.round("ppl", 3).alias("ppl3"),
+    )
+
+
+_PR_ITERS = 25  # both sides take EXACTLY this many power steps
+
+
+def _pagerank_oracle_sql(iters: int = _PR_ITERS) -> str:
+    """Fixed-iteration weighted PageRank, dangling mass folded back each
+    step — the power loop unrolled as chained CTEs (DuckDB 1.0 recursive
+    CTEs forbid aggregates in the recursive term). Every step CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs per reference, and each step
+    is referenced three times, so the un-hinted plan explodes 3^iters."""
+    head = (
+        "WITH links AS MATERIALIZED (SELECT 'h' || (user_id % 29) AS src, 'h' || (event_id % 37) AS dst FROM events), "
+        "edges AS MATERIALIZED (SELECT src, dst, cast(count(*) AS double) AS w FROM links WHERE src <> dst GROUP BY 1, 2), "
+        "outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY 1), "
+        "e AS MATERIALIZED (SELECT edges.src, dst, w / out_w AS frac FROM edges JOIN outw USING (src)), "
+        "verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e), "
+        "nn AS MATERIALIZED (SELECT cast(count(*) AS double) AS n FROM verts), "
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank, id IN (SELECT src FROM e) AS has_out FROM verts)"
+    )
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        steps.append(
+            f"d{k} AS MATERIALIZED (SELECT coalesce(sum(CASE WHEN NOT has_out THEN rank END), 0.0) AS dang FROM {p}), "
+            f"c{k} AS MATERIALIZED (SELECT dst AS id, sum(frac * rank) AS inr FROM e JOIN {p} ON e.src = {p}.id GROUP BY dst), "
+            f"r{k} AS MATERIALIZED (SELECT v.id, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c.inr, 0.0) + (SELECT dang FROM d{k}) / (SELECT n FROM nn)) AS rank, v.has_out "
+            f"FROM {p} v LEFT JOIN c{k} c ON v.id = c.id)"
+        )
+    return head + ", " + ", ".join(steps) + f" SELECT id, round(rank, 8) AS rank8 FROM r{iters}"
+
+
+@_q("q62_pagerank", _pagerank_oracle_sql())
+def q62(spark, sf):
+    # host-graph PageRank (operators/graph.py) on an events-derived
+    # graph with planted dangling hosts (dst residues 29..36 never
+    # appear as sources); fixed_iters pins the power-step count so the
+    # unrolled-CTE twin lands on the identical vector
+    from gocrawler_spark.operators.graph import host_link_graph, pagerank
+
+    e = _t(spark, sf, "events")
+    links = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 29).cast("string")).alias("src_host"),
+        F.concat(F.lit("h"), (F.col("event_id") % 37).cast("string")).alias("dst_host"),
+    )
+    ranks = pagerank(host_link_graph(links), fixed_iters=_PR_ITERS)
+    return ranks.select("id", F.round("rank", 8).alias("rank8"))
+
+
+_GOPHER_STOPS_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+_GOPHER_ORACLE = (
+    f"WITH tok AS (SELECT doc_id, text, {_TOKENIZE_SQL} AS l, "
+    " list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines FROM documents), "
+    "sig AS (SELECT doc_id, cast(len(l) AS int) AS n_words, "
+    " round(CASE WHEN len(l) > 0 THEN list_aggregate(list_transform(l, x -> length(x)), 'sum') * 1.0 / len(l) ELSE 0.0 END, 6) AS mean_wlen6, "
+    " round(CASE WHEN len(l) > 0 THEN len(regexp_extract_all(text, '#|\\.\\.\\.|…')) * 1.0 / len(l) ELSE 0.0 END, 6) AS symbol_ratio6, "
+    " round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> substr(ltrim(x), 1, 2) IN ('- ', '* ', '• '))) * 1.0 / len(lines) ELSE 0.0 END, 6) AS bullet_frac6, "
+    " round(CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…')) * 1.0 / len(lines) ELSE 0.0 END, 6) AS ellipsis_frac6, "
+    " round(CASE WHEN len(l) > 0 THEN len(list_filter(l, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(l) ELSE 0.0 END, 6) AS alpha_frac6, "
+    f" cast(len(list_filter({_GOPHER_STOPS_SQL}, s -> list_contains(l, s))) AS int) AS stop_hits "
+    " FROM tok) "
+    "SELECT doc_id, n_words, mean_wlen6, symbol_ratio6, bullet_frac6, ellipsis_frac6, alpha_frac6, stop_hits, "
+    "(n_words >= 50 AND n_words <= 100000 AND mean_wlen6 >= 3.0 AND mean_wlen6 <= 10.0 "
+    " AND symbol_ratio6 <= 0.1 AND bullet_frac6 <= 0.9 AND ellipsis_frac6 <= 0.3 "
+    " AND alpha_frac6 >= 0.8 AND stop_hits >= 1) AS keep "
+    "FROM sig"
+)
+
+
+# deterministic URL battery: default ports / kept ports, tracking params,
+# shuffled param order, fragments, userinfo, uppercase hosts+schemes,
+# bare authority, relative (-> NULL), bracketed IPv6
+_URLNORM_BATTERY_SQL = (
+    "SELECT CASE cast(event_id % 6 AS int) "
+    " WHEN 0 THEN 'HTTP://WWW.Ex' || (user_id % 20) || '.COM:80/a/' || (event_id % 50) || '?utm_source=x&b=2&a=1#frag' "
+    " WHEN 1 THEN 'https://ex' || (user_id % 20) || '.com:443/p?z=1&a=2&ref=abc' "
+    " WHEN 2 THEN 'https://user:pw@Ex' || (user_id % 20) || '.com/path/' || (event_id % 9) "
+    " WHEN 3 THEN 'http://ex' || (user_id % 20) || '.com:8080' "
+    " WHEN 4 THEN 'relative/path/' || event_id "
+    " ELSE 'https://[2001:DB8::' || (user_id % 9) || ']:443/x?q=' || (event_id % 5) || '&q=' || (event_id % 3) "
+    "END AS url FROM events"
+)
+
+_TRACKING_SQL = "'(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)$'"
+
+_URLNORM_ORACLE = (
+    f"WITH battery AS ({_URLNORM_BATTERY_SQL}), "
+    "s1 AS (SELECT url, split_part(url, '://', 1) AS scheme_raw FROM battery), "
+    "s2 AS (SELECT url, lower(scheme_raw) AS scheme, substr(url, length(scheme_raw) + 4) AS rest FROM s1), "
+    "s3 AS (SELECT *, split_part(split_part(split_part(rest, '/', 1), '?', 1), '#', 1) AS authority FROM s2), "
+    "s4 AS (SELECT *, string_split(authority, '@')[-1] AS no_user FROM s3), "
+    "s5 AS (SELECT *, no_user LIKE '[%' AS is_v6 FROM s4), "
+    "s6 AS (SELECT *, lower(CASE WHEN is_v6 THEN split_part(no_user, ']', 1) || ']' ELSE split_part(no_user, ':', 1) END) AS host, "
+    " CASE WHEN is_v6 THEN string_split(no_user, ']')[-1] "
+    "  WHEN contains(no_user, ':') THEN ':' || string_split(no_user, ':')[-1] ELSE '' END AS after_host FROM s5), "
+    "s7 AS (SELECT *, CASE WHEN after_host LIKE ':%' THEN substr(after_host, 2) ELSE '' END AS port FROM s6), "
+    "s8 AS (SELECT *, CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443') "
+    " THEN '' ELSE ':' || port END AS port_part, "
+    " split_part(substr(rest, length(authority) + 1), '#', 1) AS before_frag FROM s7), "
+    "s9 AS (SELECT *, CASE WHEN split_part(before_frag, '?', 1) = '' THEN '/' ELSE split_part(before_frag, '?', 1) END AS path, "
+    " CASE WHEN contains(before_frag, '?') THEN substr(before_frag, strpos(before_frag, '?') + 1) END AS query FROM s8), "
+    "s10 AS (SELECT *, list_sort(list_filter(string_split(coalesce(query, ''), '&'), "
+    f" p -> length(p) > 0 AND NOT regexp_matches(split_part(p, '=', 1), {_TRACKING_SQL}))) AS params FROM s9) "
+    "SELECT url, CASE WHEN contains(url, '://') AND host <> '' AND host IS NOT NULL THEN "
+    " scheme || '://' || host || port_part || path || "
+    " (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) END AS canon "
+    "FROM s10"
+)
+
+
+@_q("q64_urlnorm", _URLNORM_ORACLE)
+def q64(spark, sf):
+    # URL canonicalization (functions/urlnorm.canonical_url) over a
+    # deterministic adversarial battery rendered from events; the twin
+    # re-implements the whole algorithm in DuckDB string/list functions
+    # (split_part/list_filter/list_sort), sharing only the tracking-key
+    # regex constant
+    from gocrawler_spark.functions.urlnorm import canonical_url
+
+    e = _t(spark, sf, "events")
+    mod = (F.col("event_id") % 6).cast("int")
+    uid = lambda m: (F.col("user_id") % m).cast("string")  # noqa: E731
+    eid = lambda m: (F.col("event_id") % m).cast("string")  # noqa: E731
+    url = (
+        F.when(mod == 0, F.concat(F.lit("HTTP://WWW.Ex"), uid(20), F.lit(".COM:80/a/"), eid(50), F.lit("?utm_source=x&b=2&a=1#frag")))
+        .when(mod == 1, F.concat(F.lit("https://ex"), uid(20), F.lit(".com:443/p?z=1&a=2&ref=abc")))
+        .when(mod == 2, F.concat(F.lit("https://user:pw@Ex"), uid(20), F.lit(".com/path/"), eid(9)))
+        .when(mod == 3, F.concat(F.lit("http://ex"), uid(20), F.lit(".com:8080")))
+        .when(mod == 4, F.concat(F.lit("relative/path/"), F.col("event_id").cast("string")))
+        .otherwise(F.concat(F.lit("https://[2001:DB8::"), uid(9), F.lit("]:443/x?q="), eid(5), F.lit("&q="), eid(3)))
+    )
+    return e.select(url.alias("url")).select("url", canonical_url("url").alias("canon"))
+
+
+@_q("q63_gopher_rules", _GOPHER_ORACLE)
+def q63(spark, sf):
+    # Gopher rule-based quality filter (functions/text.py
+    # gopher_quality_rules — Rae et al. 2021 §A1.1): every signal + the
+    # keep verdict per doc. The oracle recomputes each rule over the
+    # 6dp-rounded signals, so both sides threshold identical values.
+    from gocrawler_spark.functions.text import gopher_quality_rules
+
+    d = _t(spark, sf, "documents")
+    g = gopher_quality_rules(F.col("text"))
+    flat = d.select("doc_id", g.alias("g")).select("doc_id", "g.*")
+    # re-derive keep from the ROUNDED signals (matching the oracle's
+    # thresholding exactly at rule boundaries)
+    return flat.select(
+        "doc_id", "n_words", "mean_wlen6", "symbol_ratio6", "bullet_frac6",
+        "ellipsis_frac6", "alpha_frac6", "stop_hits",
+        (
+            (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+            & (F.col("mean_wlen6") >= 3.0) & (F.col("mean_wlen6") <= 10.0)
+            & (F.col("symbol_ratio6") <= 0.1)
+            & (F.col("bullet_frac6") <= 0.9)
+            & (F.col("ellipsis_frac6") <= 0.3)
+            & (F.col("alpha_frac6") >= 0.8)
+            # stop_hits >= 1 is this corpus's sweep point: the synthetic
+            # docs attach punctuation to words, so Gopher's >= 2 never
+            # fires; the operator default stays the paper's 2
+            & (F.col("stop_hits") >= 1)
+        ).alias("keep"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

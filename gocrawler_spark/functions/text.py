@@ -284,6 +284,93 @@ def ngram_contamination(docs, benchmark, n: int = 8, text_col: str = "text",
     )
 
 
+# Gopher's document-level stop set (Rae et al. 2021 §A1.1: "contains at
+# least 2 of the following English words"): a presence test, unlike the
+# per-token STOPWORDS ratio above
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    col,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_start_frac: float = 0.9,
+    max_ellipsis_end_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """Gopher rule-based document filter (Rae et al. 2021 §A1.1, the
+    MassiveWeb recipe later reused by RefinedWeb/FineWeb): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio (# and
+    ellipsis), bullet-start / ellipsis-end line fractions, fraction of
+    words with an alphabetic character, and a stop-word presence test.
+
+    Returns a struct column (n_words, mean_wlen6, symbol_ratio6,
+    bullet_frac6, ellipsis_frac6, alpha_frac6, stop_hits, keep) — all
+    signals surfaced so threshold sweeps don't recompute, ratios rounded
+    to 6dp for oracle-stable comparison. Everything is JVM built-ins
+    (tokens/filter/aggregate) — no Python in the hot path.
+    """
+    t = tokens(col)
+    nw = F.size(t)
+    nwd = nw.cast("double")
+    mwl = F.when(
+        nw > 0,
+        F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).cast(
+            "double"
+        )
+        / nwd,
+    ).otherwise(F.lit(0.0))
+    n_sym = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), 0))
+    sym_ratio = F.when(nw > 0, n_sym.cast("double") / nwd).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(col, "\n"), lambda x: F.trim(x) != "")
+    nl = F.size(lines)
+    nld = nl.cast("double")
+    bullet = F.size(
+        F.filter(lines, lambda x: F.ltrim(x).substr(1, 2).isin("- ", "* ", "• "))
+    )
+    bullet_frac = F.when(nl > 0, bullet.cast("double") / nld).otherwise(F.lit(0.0))
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+        )
+    )
+    ellipsis_frac = F.when(nl > 0, ellipsis.cast("double") / nld).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(nw > 0, alpha.cast("double") / nwd).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+            lambda s: F.array_contains(t, s),
+        )
+    )
+    keep = (
+        (nw >= min_words)
+        & (nw <= max_words)
+        & (mwl >= min_mean_word_len)
+        & (mwl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_start_frac)
+        & (ellipsis_frac <= max_ellipsis_end_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return F.struct(
+        nw.alias("n_words"),
+        F.round(mwl, 6).alias("mean_wlen6"),
+        F.round(sym_ratio, 6).alias("symbol_ratio6"),
+        F.round(bullet_frac, 6).alias("bullet_frac6"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac6"),
+        F.round(alpha_frac, 6).alias("alpha_frac6"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
 def top_ngram_fraction(docs, n: int = 2, text_col: str = "text",
                        id_col: str = "doc_id"):
     """Fraction of a doc's tokens covered by its single most frequent

@@ -61,6 +61,7 @@ def pagerank(
     damping: float = 0.85,
     tol: float = 1e-9,
     max_iters: int = 250,
+    fixed_iters: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank by power iteration. Returns (id, rank), ranks
     summing to 1 over all vertices (sources and sinks alike).
@@ -68,6 +69,11 @@ def pagerank(
     The L1 step delta contracts by ~`damping` per iteration, so reaching
     tol=1e-9 from a cold start takes ~130 rounds — the default budget
     leaves headroom; tighter tolerances need proportionally more.
+
+    `fixed_iters` runs EXACTLY that many iterations (no convergence test,
+    no tol raise) — deterministic replay for audits and for twin checks
+    against an independent fixed-iteration implementation, where both
+    sides must take the same number of power steps to agree.
 
     Per iteration the driver runs exactly ONE scalar aggregation: the
     L1 delta of the step (the convergence test) fused with the dangling
@@ -116,7 +122,7 @@ def pagerank(
     dangling = (
         ranks.where(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0
     )
-    for _ in range(max_iters):
+    for _ in range(fixed_iters if fixed_iters is not None else max_iters):
         contrib = (
             e.join(
                 ranks.select(F.col("id").alias("src"), "rank"),
@@ -150,8 +156,10 @@ def pagerank(
         # stepped is checkpointed; this select keeps lineage depth 1, so
         # no second checkpoint job is needed per iteration
         ranks = stepped.select("id", F.col("_new").alias("rank"), "has_out")
-        if delta < tol:
+        if fixed_iters is None and delta < tol:
             return ranks.select("id", "rank")
+    if fixed_iters is not None:
+        return ranks.select("id", "rank")
     raise RuntimeError(f"pagerank did not converge in {max_iters} iterations")
 
 

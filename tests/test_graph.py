@@ -97,6 +97,31 @@ def test_pagerank_budget_and_plan(spark):
     assert all(r["rank"] == pytest.approx(1.0 / 3.0, abs=1e-9) for r in got)
 
 
+def test_pagerank_fixed_iters_exact_step_count(spark):
+    # fixed_iters must take EXACTLY that many power steps — far from the
+    # fixpoint after 5 steps, so agreement at 1e-12 with the independent
+    # reference at the same step count proves the count, not convergence
+    edges = [
+        ("hub", "a", 1.0),
+        ("hub", "b", 3.0),
+        ("a", "hub", 1.0),
+        ("b", "sink", 2.0),  # dangling sink folds mass back each step
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r["id"]: r["rank"] for r in pagerank(df, fixed_iters=5).collect()}
+    want5 = _ref_pagerank(edges, iters=5)
+    want6 = _ref_pagerank(edges, iters=6)
+    for v in want5:
+        assert got[v] == pytest.approx(want5[v], abs=1e-12), v
+    # 5 steps is not 6 steps and not the fixpoint
+    assert any(abs(want5[v] - want6[v]) > 1e-4 for v in want5)
+    # no convergence raise even when the budget is tiny
+    one = {r["id"]: r["rank"] for r in pagerank(df, fixed_iters=1).collect()}
+    want1 = _ref_pagerank(edges, iters=1)
+    for v in want1:
+        assert one[v] == pytest.approx(want1[v], abs=1e-12), v
+
+
 def test_rank_priorities_monotone(spark):
     import pytest as _pt
 

@@ -963,3 +963,104 @@ def test_exact_substring_dedup(spark):
     # stays JVM-side: no row-at-a-time Python in the plan
     plan = exact_substring_dedup(docs, k=k, min_count=mc)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def _ref_gopher(text):
+    """Independent python recomputation of the Gopher §A1.1 signals
+    (re/str ops only — no shared helpers with the Spark operator)."""
+    import re as _re
+
+    words = [w for w in text.lower().split() if w]
+    nw = len(words)
+    mwl = sum(len(w) for w in words) / nw if nw else 0.0
+    n_sym = len(_re.findall(r"#|\.\.\.|…", text))
+    swr = n_sym / nw if nw else 0.0
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    nl = len(lines)
+    bullets = sum(1 for ln in lines if ln.lstrip()[:2] in ("- ", "* ", "• "))
+    ells = sum(1 for ln in lines if ln.rstrip().endswith(("...", "…")))
+    alpha = sum(1 for w in words if _re.search(r"[a-zA-Z]", w))
+    stops = sum(
+        1
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+        if s in words
+    )
+    keep = (
+        50 <= nw <= 100000
+        and 3.0 <= mwl <= 10.0
+        and swr <= 0.1
+        and (bullets / nl if nl else 0.0) <= 0.9
+        and (ells / nl if nl else 0.0) <= 0.3
+        and (alpha / nw if nw else 0.0) >= 0.8
+        and stops >= 2
+    )
+    return (
+        nw,
+        round(mwl, 6),
+        round(swr, 6),
+        round(bullets / nl if nl else 0.0, 6),
+        round(ells / nl if nl else 0.0, 6),
+        round(alpha / nw if nw else 0.0, 6),
+        stops,
+        keep,
+    )
+
+
+def test_gopher_quality_rules(spark):
+    from gocrawler_spark.functions.text import gopher_quality_rules
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs be with "
+        "that have of to something more words here today " * 3
+    )
+    bullet_doc = "\n".join(f"- item {i} of the list be" for i in range(20))
+    ellipsis_doc = "\n".join(
+        f"the line {i} of text trails off be..." for i in range(10)
+    )
+    symbol_doc = "the " + "# " * 30 + "of be words " * 10
+    numeric_doc = ("12345 67890 " * 30) + "the of be"
+    short_doc = "the of be too short"
+    empty_doc = ""
+    rows = [
+        (0, good),
+        (1, bullet_doc),
+        (2, ellipsis_doc),
+        (3, symbol_doc),
+        (4, numeric_doc),
+        (5, short_doc),
+        (6, empty_doc),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["g"]["n_words"],
+            r["g"]["mean_wlen6"],
+            r["g"]["symbol_ratio6"],
+            r["g"]["bullet_frac6"],
+            r["g"]["ellipsis_frac6"],
+            r["g"]["alpha_frac6"],
+            r["g"]["stop_hits"],
+            r["g"]["keep"],
+        )
+        for r in df.select(
+            "doc_id", gopher_quality_rules(F.col("text")).alias("g")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        assert out[doc_id] == _ref_gopher(text), f"doc {doc_id}"
+    # the planted failures fail for the planted reasons
+    assert out[0][7] is True
+    assert out[1][7] is False and out[1][3] == 1.0  # all-bullet
+    assert out[2][7] is False and out[2][4] == 1.0  # all-ellipsis
+    assert out[3][7] is False and out[3][2] > 0.1  # symbol-heavy
+    assert out[4][7] is False and out[4][5] < 0.8  # numeric words
+    assert out[5][7] is False  # too short
+    assert out[6][7] is False and out[6][0] == 0  # empty
+    # JVM-only plan
+    plan = (
+        df.select(gopher_quality_rules(F.col("text")).alias("g"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
