@@ -96,29 +96,34 @@ def _q(name: str, oracle: str | None = None):
 # --- crawl-semantics operators over the driver tables ----------------------
 
 @_q(
-    "q01_admission_regex_filter",
-    "SELECT doc_id FROM documents "
-    "WHERE regexp_matches(text, 'spark.*join') AND lang IN ('en','es')",
+    "q01_admission_filters",
+    # former q01+q02 merged (round-4 fifth merge wave): both frontier
+    # admission legs, tagged — the URL-regex filter (F2) and the domain
+    # allowlist aggregate (F1) — freeing a gate slot
+    "SELECT 'regex' AS leg, cast(doc_id AS varchar) AS k, cast(1 AS bigint) AS n FROM documents "
+    "WHERE regexp_matches(text, 'spark.*join') AND lang IN ('en','es') "
+    "UNION ALL SELECT 'allow', source, count(*) FROM documents "
+    "WHERE source IN ('src0','src1','src2') GROUP BY source",
 )
 def q01(spark, sf):
     # F2 — URL-regex admission (pattern filter ahead of expensive work)
+    # + F1 — allowlist membership (broadcast-friendly isin)
     d = _t(spark, sf, "documents")
-    return d.filter(F.col("text").rlike("spark.*join") & F.col("lang").isin("en", "es")).select("doc_id")
-
-
-@_q(
-    "q02_domain_allowlist",
-    "SELECT source, count(*) AS n FROM documents "
-    "WHERE source IN ('src0','src1','src2') GROUP BY source",
-)
-def q02(spark, sf):
-    # F1 — allowlist membership (broadcast-friendly isin)
-    d = _t(spark, sf, "documents")
-    return (
+    regex_leg = (
+        d.filter(F.col("text").rlike("spark.*join") & F.col("lang").isin("en", "es"))
+        .select(
+            F.lit("regex").alias("leg"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    allow_leg = (
         d.filter(F.col("source").isin("src0", "src1", "src2"))
         .groupBy("source")
         .agg(F.count("*").alias("n"))
+        .select(F.lit("allow").alias("leg"), F.col("source").alias("k"), "n")
     )
+    return regex_leg.unionByName(allow_leg)
 
 
 @_q(
@@ -186,23 +191,31 @@ def q06(spark, sf):
 
 
 @_q(
-    "q07_md5_item_id",
-    "SELECT p_partkey, md5(p_name || '/' || p_brand) AS item_id FROM part",
+    "q07_content_ids",
+    # former q07+q08 merged (round-4 fifth merge wave): both md5 id
+    # derivations, tagged — item.CreateID and the request id — freeing
+    # a gate slot
+    "SELECT 'item' AS leg, cast(p_partkey AS varchar) AS k, "
+    "md5(p_name || '/' || p_brand) AS h FROM part "
+    "UNION ALL SELECT 'req', cast(doc_id AS varchar), "
+    "md5(cast(doc_id AS varchar)) FROM documents",
 )
 def q07(spark, sf):
     # E11 — item.CreateID (md5 of '/'-joined parts, item.go:84-94)
+    # + E12 — request id = md5(url) (scraper.go:112)
     p = _t(spark, sf, "part")
-    return p.select("p_partkey", F.md5(F.concat_ws("/", "p_name", "p_brand")).alias("item_id"))
-
-
-@_q(
-    "q08_request_id",
-    "SELECT doc_id, md5(cast(doc_id AS varchar)) AS req_id FROM documents",
-)
-def q08(spark, sf):
-    # E12 — request id = md5(url) (scraper.go:112)
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("req_id"))
+    item_leg = p.select(
+        F.lit("item").alias("leg"),
+        F.col("p_partkey").cast("string").alias("k"),
+        F.md5(F.concat_ws("/", "p_name", "p_brand")).alias("h"),
+    )
+    req_leg = d.select(
+        F.lit("req").alias("leg"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    return item_leg.unionByName(req_leg)
 
 
 @_q(
@@ -277,12 +290,39 @@ def q14(spark, sf):
 
 
 @_q(
-    "q15_visit_counter",
-    "SELECT event_type, count(*) AS visits FROM events GROUP BY event_type",
+    "q15_crawl_counters",
+    # former q15+q17 merged (round-4 fifth merge wave): the visitsCount
+    # accumulator and the per-host frontier stats, leg-tagged
+    "SELECT 'visits' AS leg, event_type AS k, count(*) AS n, "
+    "cast(NULL AS int) AS min_chars, cast(NULL AS int) AS max_chars "
+    "FROM events GROUP BY event_type "
+    "UNION ALL SELECT 'host', source, count(*), min(n_chars), max(n_chars) "
+    "FROM documents GROUP BY source",
 )
 def q15(spark, sf):
     # A1 — visitsCount accumulator (scraper.go:195,237)
-    return _t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("visits"))
+    # + A7 — per-host frontier stats feeding credit allocation
+    visits = (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("visits").alias("leg"), F.col("event_type").alias("k"), "n",
+            F.lit(None).cast("int").alias("min_chars"),
+            F.lit(None).cast("int").alias("max_chars"),
+        )
+    )
+    hosts = (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(F.lit("host").alias("leg"), F.col("source").alias("k"), "n", "min_chars", "max_chars")
+    )
+    return visits.unionByName(hosts)
 
 
 @_q(
@@ -297,21 +337,6 @@ def q16(spark, sf):
     return e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
-    )
-
-
-@_q(
-    "q17_host_stats",
-    "SELECT source, count(*) AS pending, min(n_chars) AS min_chars, max(n_chars) AS max_chars "
-    "FROM documents GROUP BY source",
-)
-def q17(spark, sf):
-    # A7 — per-host frontier stats feeding credit allocation
-    d = _t(spark, sf, "documents")
-    return d.groupBy("source").agg(
-        F.count("*").alias("pending"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
     )
 
 
@@ -624,33 +649,35 @@ def _entity_oracle_sql() -> str:
     )
 
 
-@_q("q44_entity_stub", _entity_oracle_sql())
-def q44(spark, sf):
-    # E19 second half — DetectEntities deterministic stub
-    # (analyzer.go:96-116); typed lexicon + Capitalized-word heuristic
-    from gocrawler_spark.operators.analyze import entities_exploded
-
-    return entities_exploded(_t(spark, sf, "documents"))
-
-
 _SENT_TOK_SQL = "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9_]+'), x -> x <> '')"
 _POS_SQL = "('excelente','buena','bueno','rapida','rapido','great','good','cumple','recomendado','perfecto')"
 _NEG_SQL = "('mala','malo','lento','lenta','bad','poor','defecto','roto','terrible','pesimo')"
 
-
-@_q(
-    "q32_sentiment",
+_SENTIMENT_SQL = (
     f"SELECT doc_id, round((len(list_filter(l, x -> x IN {_POS_SQL})) - len(list_filter(l, x -> x IN {_NEG_SQL}))) * 1.0 "
     f"/ greatest(len(l), 1), 6) AS score "
-    f"FROM (SELECT doc_id, {_SENT_TOK_SQL} AS l FROM documents)",
+    f"FROM (SELECT doc_id, {_SENT_TOK_SQL} AS l FROM documents)"
+)
+
+
+@_q(
+    "q32_analyze_stubs",
+    # former q32+q44 merged (round-4 fifth merge wave): every entity row
+    # carries its document's sentiment score — one gate row covers both
+    # Comprehend-stub legs (E19), freeing a slot
+    f"SELECT e.doc_id, e.entity, e.etype, s.score "
+    f"FROM ({_entity_oracle_sql()}) e JOIN ({_SENTIMENT_SQL}) s ON e.doc_id = s.doc_id",
 )
 def q32(spark, sf):
-    # E19 — sentiment analysis stub (deterministic lexicon; the reference
-    # calls AWS Comprehend, analyzer.go:42-116)
-    from gocrawler_spark.operators.analyze import sentiment_score
+    # E19 — sentiment stub (deterministic lexicon; the reference calls
+    # AWS Comprehend, analyzer.go:42-116) + DetectEntities stub
+    # (analyzer.go:96-116): typed lexicon + Capitalized-word heuristic
+    from gocrawler_spark.operators.analyze import entities_exploded, sentiment_score
 
     d = _t(spark, sf, "documents")
-    return d.select("doc_id", sentiment_score(F.col("text")).alias("score"))
+    ents = entities_exploded(d)
+    scores = d.select("doc_id", sentiment_score(F.col("text")).alias("score"))
+    return ents.join(scores, "doc_id")
 
 
 # --- crawl loop + multimodal (rows-only) ------------------------------------
@@ -796,7 +823,51 @@ def q52(spark, sf):
         F.col("ip").alias("info"),
         F.col("port").cast("long").alias("n"),
     )
-    return warc_rows.unionByName(proxy_rows)
+    # third leg (round-4 fifth merge wave): the WARC *writer* roundtrip —
+    # the same pages written back out as CC-shaped segments by the
+    # executor-side sink (sources/warc.write_warc), then re-read through
+    # read_warc_binary; the leg's rows are the re-read records, so a
+    # framing bug on either side breaks the gate row
+    import shutil
+
+    from gocrawler_spark.sources.warc import write_warc
+
+    sink_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"gocrawler_q52_sink_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    os.makedirs(sink_dir, exist_ok=True)
+    manifest = write_warc(pages.repartition(4), sink_dir)
+    manifest.collect()  # manifest is lazy; executes the segment writes
+    sink_rows = read_warc_binary(spark, os.path.join(sink_dir, "*.warc.gz")).select(
+        F.lit("warc_sink").alias("src"), "url",
+        F.col("mime").alias("info"),
+        F.col("http_status").cast("long").alias("n"),
+    )
+    # fourth leg: the WET conversion sink (Common Crawl's extracted-text
+    # sibling) — pages' text written as WARC-Type: conversion records
+    # and re-read through read_wet_binary, n = extracted char count
+    from gocrawler_spark.sources.warc import read_wet_binary, write_wet
+
+    wet_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"gocrawler_q52_wet_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(wet_dir, ignore_errors=True)
+    os.makedirs(wet_dir, exist_ok=True)
+    wet_src = pages.select("url", F.decode("html", "utf-8").alias("text"), "warc_ts")
+    write_wet(wet_src.repartition(4), wet_dir).collect()
+    wet_rows = read_wet_binary(spark, os.path.join(wet_dir, "*.warc.wet.gz")).select(
+        F.lit("wet").alias("src"), "url",
+        F.lit("text/plain").alias("info"),
+        F.col("n_chars").cast("long").alias("n"),
+    )
+    return (
+        warc_rows.unionByName(proxy_rows)
+        .unionByName(sink_rows)
+        .unionByName(wet_rows)
+    )
 
 
 @_q(
@@ -1709,6 +1780,200 @@ def q63(spark, sf):
             & (F.col("stop_hits") >= 1)
         ).alias("keep"),
     )
+
+
+# SemDeDup oracle: md5-pick centroids (kmeans_iters=0 — the documented
+# no-Lloyd init), cross-join argmax assignment (ties broken toward the
+# lower centroid_id, matching np.argmax), within-cell pairs at cos >=
+# 0.4. Everything is computed over DOUBLE[] casts of the float32
+# embeddings so both engines run the identical left-to-right double
+# arithmetic; exact-duplicate rows are planted (vec_id % 50 = 0 copied
+# to vec_id + 10000) so the threshold actually separates planted
+# near-dups (cos ~ 1.0) from the random background (max ~ 0.49).
+_SEMDEDUP_ORACLE = (
+    "WITH aug AS MATERIALIZED ("
+    " SELECT vec_id AS doc_id, cast(embedding AS DOUBLE[]) AS embedding FROM embeddings"
+    " UNION ALL"
+    " SELECT vec_id + 10000, cast(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0"
+    "), ranked AS MATERIALIZED ("
+    " SELECT doc_id, embedding, md5(cast(doc_id AS varchar)) AS r"
+    " FROM aug ORDER BY r LIMIT 8"
+    "), cents AS MATERIALIZED ("
+    " SELECT cast(row_number() OVER (ORDER BY r) - 1 AS int) AS centroid_id,"
+    " embedding AS centroid FROM ranked"
+    "), sims AS ("
+    " SELECT a.doc_id, a.embedding, c.centroid_id,"
+    " list_cosine_similarity(a.embedding, c.centroid) AS s"
+    " FROM aug a CROSS JOIN cents c"
+    "), assigned AS MATERIALIZED ("
+    " SELECT doc_id, embedding, centroid_id FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, centroid_id) AS rk"
+    "  FROM sims) WHERE rk = 1"
+    ") "
+    "SELECT a.doc_id AS a, b.doc_id AS b,"
+    " round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos6, a.centroid_id "
+    "FROM assigned a JOIN assigned b USING (centroid_id) "
+    "WHERE a.doc_id < b.doc_id"
+    " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+)
+
+
+@_q("q65_semdedup", _SEMDEDUP_ORACLE)
+def q65(spark, sf):
+    # SemDeDup candidate pairs (operators/dedup.semdedup_pairs, Abbas et
+    # al. 2023): k-means-cell-blocked exact-cosine near-dup search over
+    # the embeddings table with planted exact duplicates. kmeans_iters=0
+    # pins the deterministic md5 centroid init so the DuckDB twin can
+    # replay the identical clustering; embeddings are cast to double on
+    # both sides for bit-reproducible cosine arithmetic.
+    from gocrawler_spark.operators.dedup import semdedup_pairs
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    planted = emb.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "embedding"
+    )
+    pairs = semdedup_pairs(
+        emb.unionByName(planted), n_clusters=8, threshold=0.4,
+        kmeans_iters=0, vec_col="embedding", id_col="doc_id",
+    )
+    return pairs.select("a", "b", F.round("cos", 6).alias("cos6"), "centroid_id")
+
+
+@_q("q66_bpe_vocab")
+def q66(spark, sf):
+    # distributed BPE training (operators/bpe.py, Sennrich et al. 2016)
+    # driven end-to-end: corpus word counts -> 12 learned merges -> the
+    # trained vocab's final segmentations. The merge argmax/rewrite loop
+    # is not SQL-expressible (greedy left-to-right fold semantics), so
+    # this is a rows-only gate entry; the merge sequence, vocab, and
+    # segmentations are pinned against an independent pure-Python
+    # Sennrich reference in tests/test_bpe_semdedup.py.
+    from gocrawler_spark.operators.bpe import learn_bpe, word_counts
+
+    d = _t(spark, sf, "documents")
+    merges, vocab = learn_bpe(word_counts(d), n_merges=12)
+    return vocab.select(
+        "word",
+        F.array_join("sym", " ").alias("segmentation"),
+        F.size("sym").alias("n_syms"),
+        "count",
+    )
+
+
+@_q("q67_learned_quality")
+def q67(spark, sf):
+    # the learned quality-scoring pair over the documents table:
+    # fastText-style logistic classifier (operators/classifier.py,
+    # en-vs-rest as the deterministic label split) + DSIR importance
+    # weights and Gumbel-top-k selection (operators/dsir.py, en docs as
+    # the target distribution). Both ride xxhash64 feature hashing, so
+    # no DuckDB twin exists (rows-only, like the q22/q24 sketches);
+    # training math is pinned to an independent numpy reference in
+    # tests/test_classifier.py and tests/test_quality_dsir.py.
+    from gocrawler_spark.operators.classifier import (
+        classifier_score,
+        train_quality_classifier,
+    )
+    from gocrawler_spark.operators.dsir import (
+        dsir_select,
+        fit_feature_dist,
+        importance_weights,
+    )
+
+    d = _t(spark, sf, "documents")
+    pos = d.filter(F.col("lang") == "en")
+    neg = d.filter(F.col("lang") != "en")
+    model = train_quality_classifier(pos, neg, buckets=512, iters=8)
+    scored = classifier_score(d, model).select(
+        "doc_id", F.round("score", 6).alias("clf_score")
+    )
+    target = fit_feature_dist(pos, buckets=512)
+    raw = fit_feature_dist(d, buckets=512)
+    weighted = importance_weights(d, target, raw)
+    selected = dsir_select(weighted, n=100).select(
+        "doc_id", F.lit(True).alias("selected")
+    )
+    return (
+        scored.join(weighted, "doc_id")
+        .join(selected, "doc_id", "left")
+        .select(
+            "doc_id", "clf_score", "n_feats",
+            F.round("log_weight", 6).alias("log_weight6"),
+            F.coalesce("selected", F.lit(False)).alias("selected"),
+        )
+    )
+
+
+# ExactSubstr oracle: the xxhash64 window hash is only an identity key,
+# so the twin groups on the k-gram STRING itself (chr(31)-joined) —
+# identical duplicate sets modulo 64-bit collisions (~5e-10 at this
+# corpus size). Spans merge by the same rule as the Spark fold: with
+# fixed k and ascending starts, a start extends the running span iff
+# pos <= prev_pos + k, so span breaks are lag-expressible.
+_SUBSTR_BOILER = "please like share and subscribe to our channel for updates daily"
+_SUBSTR_K = 8
+
+_SUBSTR_ORACLE = (
+    "WITH orig AS (SELECT doc_id, text,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t0"
+    " FROM documents WHERE text IS NOT NULL),"
+    "base AS MATERIALIZED (SELECT doc_id,"
+    f" CASE WHEN doc_id % 7 = 0 THEN s1 || ' {_SUBSTR_BOILER}' ELSE s1 END AS text"
+    " FROM (SELECT doc_id, CASE WHEN doc_id % 31 = 0"
+    " THEN text || ' ' || array_to_string(t0[1:16], ' ') ELSE text END AS s1 FROM orig)),"
+    "toks AS MATERIALIZED (SELECT doc_id,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM base),"
+    "grams AS MATERIALIZED (SELECT doc_id,"
+    f" pos, array_to_string(t[pos+1:pos+{_SUBSTR_K}], chr(31)) AS g FROM"
+    f" (SELECT doc_id, t, unnest(generate_series(0, len(t) - {_SUBSTR_K})) AS pos FROM toks)),"
+    "dup AS MATERIALIZED (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),"
+    "marked AS MATERIALIZED (SELECT doc_id, pos FROM grams JOIN dup USING (g)),"
+    "sp AS (SELECT doc_id, cast(sum(CASE WHEN prev IS NULL"
+    f" OR pos > prev + {_SUBSTR_K} THEN 1 ELSE 0 END) AS int) AS n_spans"
+    " FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev"
+    " FROM marked) GROUP BY doc_id),"
+    "cov AS (SELECT DISTINCT doc_id,"
+    f" unnest(generate_series(pos, pos + {_SUBSTR_K - 1})) AS cp FROM marked),"
+    "pos_toks AS (SELECT doc_id, i, t[i + 1] AS tok FROM"
+    " (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1)) AS i FROM toks)),"
+    "agg AS (SELECT pt.doc_id,"
+    " string_agg(tok, ' ' ORDER BY i) FILTER (WHERE cov.cp IS NULL) AS text_dedup,"
+    " cast(sum(CASE WHEN cov.cp IS NOT NULL THEN 1 ELSE 0 END) AS int) AS dropped"
+    " FROM pos_toks pt LEFT JOIN cov ON cov.doc_id = pt.doc_id AND cov.cp = pt.i"
+    " GROUP BY pt.doc_id) "
+    "SELECT toks.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,"
+    " cast(len(toks.t) AS int) AS n_tokens,"
+    " coalesce(agg.dropped, 0) AS n_tokens_dropped,"
+    " coalesce(sp.n_spans, 0) AS n_spans"
+    " FROM toks LEFT JOIN agg USING (doc_id) LEFT JOIN sp USING (doc_id)"
+)
+
+
+@_q("q68_substring_dedup", _SUBSTR_ORACLE)
+def q68(spark, sf):
+    # exact substring dedup (operators/dedup.exact_substring_dedup, Lee
+    # et al. 2021 ExactSubstr) over the documents corpus with planted
+    # duplication: a shared boilerplate tail on doc_id%7 docs (cross-doc
+    # dups) and a 16-token self-repeat on doc_id%31 docs (same-doc
+    # dups), both constructed identically in the DuckDB twin. k=8,
+    # min_count=2; the NULL-text doc is filtered on both sides.
+    from gocrawler_spark.operators.dedup import exact_substring_dedup
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    t16 = F.array_join(
+        F.slice(F.filter(F.split("text", r"\s+"), lambda x: x != ""), 1, 16), " "
+    )
+    s1 = F.when(
+        F.col("doc_id") % 31 == 0, F.concat("text", F.lit(" "), t16)
+    ).otherwise(F.col("text"))
+    s2 = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(s1, F.lit(" " + _SUBSTR_BOILER))
+    ).otherwise(s1)
+    planted = d.select("doc_id", s2.alias("text"))
+    return exact_substring_dedup(planted, k=_SUBSTR_K, min_count=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

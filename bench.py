@@ -361,6 +361,49 @@ def bench_quality_dsir(spark):
     }
 
 
+def bench_semdedup(spark):
+    """SemDeDup at bench volume: a synthetic 64-dim embedding corpus
+    generated distributively (sin-of-xxhash components — no driver
+    loop, no RNG state), 0.2% planted near-duplicates, k-means into
+    enough cells that the within-cell self-join stays sub-quadratic
+    (the paper's scaling argument: cost ~ sum of squared cell sizes,
+    not N^2), then exact-cosine pairs at 0.95."""
+    from gocrawler_spark.operators.dedup import semdedup_pairs
+
+    n = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_N", "60000"))
+    dims, clusters = 64, 512
+    idx = F.sequence(F.lit(0), F.lit(dims - 1))
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(idx, lambda i: F.sin(F.xxhash64("id", i))).alias("embedding"),
+    )
+    planted = spark.range(n // 500).select(
+        (F.col("id") + n).alias("vec_id"),
+        F.transform(
+            idx,
+            lambda i: F.sin(F.xxhash64(F.col("id") * 500, i))
+            + F.when(i == 0, F.lit(1e-3)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    emb = base.unionByName(planted).repartition(CPUS * 2).cache()
+    n_vec = emb.count()
+
+    t0 = time.time()
+    pairs = semdedup_pairs(
+        emb, n_clusters=clusters, threshold=0.95, kmeans_iters=1,
+        id_col="vec_id",
+    )
+    n_pairs = pairs.count()
+    dt = time.time() - t0
+    emb.unpersist()
+    return dt, {
+        "vectors": n_vec,
+        "clusters": clusters,
+        "pairs": n_pairs,
+        "vecs_per_sec": round(n_vec / dt, 1),
+    }
+
+
 def main():
     spark = get_spark(cpus=CPUS, app_name="gocrawler-bench",
                       shuffle_partitions=max(CPUS * 2, 16))
@@ -373,6 +416,7 @@ def main():
         "trap_scan": bench_trap_scan,
         "recrawl": bench_recrawl,
         "quality_dsir": bench_quality_dsir,
+        "semdedup": bench_semdedup,
     }
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     times, extras = {}, {}

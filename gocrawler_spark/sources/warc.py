@@ -367,3 +367,123 @@ def write_warc(
             yield pd.DataFrame([(path, n_rec, n_bytes)], columns=["path", "n_records", "n_bytes"])
 
     return src.mapInPandas(run, WRITE_MANIFEST_SCHEMA)
+
+
+WET_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    gzip_members: bool = True,
+    prefix: str = "wet",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extracted-text DataFrame -> Common-Crawl-shaped WET segments
+    (the .warc.wet sibling of a crawl's WARC output: one
+    ``WARC-Type: conversion`` record per page, plain-text block, no
+    HTTP envelope), one file per partition written executor-side.
+
+    Input columns: url (string), ``text_col`` (string), optional
+    warc_ts (timestamp). Framing matches :func:`write_warc` — WARC/1.0
+    headers + Content-Length block, per-member gzip with mtime=0 so
+    identical input yields byte-identical segments. WARC-Refers-To
+    carries the md5 urn :func:`write_warc` would give the page's
+    response record, so a WET record links back to its WARC record
+    exactly as Common Crawl's conversion records do.
+
+    Returns the same lazy (path, n_records, n_bytes) manifest shape as
+    :func:`write_warc`; empty partitions emit no file.
+    """
+    import gzip as _gzip
+    import hashlib
+    import os
+
+    from pyspark import TaskContext
+
+    cols = df.columns
+    sel = [F.col("url"), F.col(text_col).cast("string").alias("text")]
+    sel.append(
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("wdate")
+        if "warc_ts" in cols
+        else F.lit(None).cast("string").alias("wdate")
+    )
+    src = df.select(*sel)
+    ext = ".warc.wet.gz" if gzip_members else ".warc.wet"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
+        n_rec, n_bytes = 0, 0
+        with open(path, "wb") as fh:
+            for pdf in batches:
+                for url, text, wdate in zip(pdf["url"], pdf["text"], pdf["wdate"]):
+                    body = (text or "").encode("utf-8", "replace")
+                    resp_rid = hashlib.md5(
+                        f"{url}|{wdate}".encode("utf-8", "replace")
+                    ).hexdigest()
+                    rid = hashlib.md5(
+                        f"wet|{url}|{wdate}".encode("utf-8", "replace")
+                    ).hexdigest()
+                    head = (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: conversion\r\n"
+                        f"WARC-Target-URI: {url}\r\n"
+                        f"WARC-Date: {wdate or '1970-01-01T00:00:00Z'}\r\n"
+                        f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+                        f"WARC-Refers-To: <urn:md5:{resp_rid}>\r\n"
+                        "Content-Type: text/plain\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode()
+                    rec = head + body + b"\r\n\r\n"
+                    if gzip_members:
+                        rec = _gzip.compress(rec, mtime=0)
+                    fh.write(rec)
+                    n_rec += 1
+                    n_bytes += len(rec)
+        if n_rec == 0:
+            os.remove(path)
+            yield pd.DataFrame(columns=["path", "n_records", "n_bytes"])
+        else:
+            yield pd.DataFrame([(path, n_rec, n_bytes)], columns=["path", "n_records", "n_bytes"])
+
+    return src.mapInPandas(run, WRITE_MANIFEST_SCHEMA)
+
+
+def read_wet_binary(spark: SparkSession, path: str) -> DataFrame:
+    """WET file(s) -> (url, warc_ts, text, n_chars): the conversion
+    records only — response/request/warcinfo records in the same
+    stream are skipped without desync (Content-Length framing), the
+    mirror of :func:`read_warc_binary` keeping only ``response``."""
+    raw = spark.read.format("binaryFile").load(path).select("content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                data = _gunzip_members(bytes(content))
+                for headers, block in _iter_binary_records(data):
+                    if headers.get("warc-type", "") != "conversion":
+                        continue
+                    url = headers.get("warc-target-uri", "")
+                    if not url:
+                        continue
+                    rows.append(
+                        (url, headers.get("warc-date", ""),
+                         block.decode("utf-8", "replace"))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WET_SCHEMA.fields])
+
+    recs = raw.mapInPandas(run, WET_SCHEMA)
+    return recs.select(
+        "url",
+        F.try_to_timestamp("warc_date", F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("warc_ts"),
+        "text",
+        F.length("text").alias("n_chars"),
+    )

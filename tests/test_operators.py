@@ -888,3 +888,60 @@ def test_warc_sink_roundtrip(spark, tmp_path):
     m2 = write_warc(df.repartition(2), str(out2), gzip_members=False).collect()
     assert sum(m["n_records"] for m in m2) == 30
     assert read_warc_binary(spark, str(out2 / "*.warc")).count() == 30
+
+
+def test_wet_sink_roundtrip(spark, tmp_path):
+    """write_wet -> read_wet_binary roundtrips extracted text exactly
+    (incl. unicode and embedded WARC/1.0 markers); a mixed stream of
+    response + conversion records splits cleanly between
+    read_warc_binary (responses only) and read_wet_binary (conversions
+    only) without desync."""
+    from gocrawler_spark.sources.warc import (
+        read_warc_binary,
+        read_wet_binary,
+        write_warc,
+        write_wet,
+    )
+
+    rows = [
+        (
+            f"https://s{i % 3}.example/p{i}",
+            f"2021-06-0{1 + i % 5}T01:02:03Z",
+            f"doc {i} — unicode é∂ and a fake\r\nWARC/1.0\r\nmarker inside",
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "url string, ts string, text string").selectExpr(
+        "url", "to_timestamp(ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\") as warc_ts", "text"
+    )
+    out = tmp_path / "wet"
+    out.mkdir()
+    manifest = write_wet(df.repartition(4), str(out)).collect()
+    assert sum(m["n_records"] for m in manifest) == 20
+    import os
+
+    assert all(f.endswith(".warc.wet.gz") for f in os.listdir(out))
+    back = read_wet_binary(spark, str(out / "*.warc.wet.gz"))
+    got = {r["url"]: r for r in back.collect()}
+    assert len(got) == 20
+    for url, ts, text in rows:
+        assert got[url]["text"] == text
+        assert got[url]["n_chars"] == len(text)
+        assert got[url]["warc_ts"].isoformat().startswith(ts[:19])
+    # determinism: same input -> byte-identical segments
+    out2 = tmp_path / "wet2"
+    out2.mkdir()
+    write_wet(df.repartition(4), str(out2)).collect()
+    b1 = b"".join((out / f).read_bytes() for f in sorted(os.listdir(out)))
+    b2 = b"".join((out2 / f).read_bytes() for f in sorted(os.listdir(out2)))
+    assert b1 == b2
+    # mixed-type stream: append a WARC response segment into the same
+    # dir; each reader sees only its record type
+    pages = spark.createDataFrame(
+        [(u, f"<html>{u}</html>".encode()) for u, _, _ in rows[:7]],
+        "url string, html binary",
+    )
+    write_warc(pages.repartition(1), str(out), prefix="resp").collect()
+    both = str(out / "*")
+    assert read_wet_binary(spark, both).count() == 20
+    assert read_warc_binary(spark, both).count() == 7
