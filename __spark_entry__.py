@@ -863,10 +863,35 @@ def q52(spark, sf):
         F.lit("text/plain").alias("info"),
         F.col("n_chars").cast("long").alias("n"),
     )
+    # fifth leg: the WAT metadata sink (CC's JSON-envelope third of the
+    # WARC/WAT/WET triple) — deterministic title/links built from the
+    # page row (link EXTRACTION is covered by q19/the crawl; this leg
+    # checks the envelope framing + JSON roundtrip), n = n_links
+    from gocrawler_spark.sources.warc import read_wat_binary, write_wat
+
+    wat_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"gocrawler_q52_wat_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(wat_dir, ignore_errors=True)
+    os.makedirs(wat_dir, exist_ok=True)
+    wat_src = pages.select(
+        "url",
+        F.substring(F.decode("html", "utf-8"), 1, 40).alias("title"),
+        F.array(F.concat("url", F.lit("#a")), F.concat("url", F.lit("#b"))).alias("links"),
+        "warc_ts",
+    )
+    write_wat(wat_src.repartition(4), wat_dir).collect()
+    wat_rows = read_wat_binary(spark, os.path.join(wat_dir, "*.warc.wat.gz")).select(
+        F.lit("wat").alias("src"), "url",
+        F.col("title").alias("info"),
+        F.col("n_links").cast("long").alias("n"),
+    )
     return (
         warc_rows.unionByName(proxy_rows)
         .unionByName(sink_rows)
         .unionByName(wet_rows)
+        .unionByName(wat_rows)
     )
 
 

@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     StringType,
@@ -486,4 +487,173 @@ def read_wet_binary(spark: SparkSession, path: str) -> DataFrame:
         F.try_to_timestamp("warc_date", F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("warc_ts"),
         "text",
         F.length("text").alias("n_chars"),
+    )
+
+
+WAT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("title", StringType()),
+        StructField("links", ArrayType(StringType())),
+    ]
+)
+
+
+def write_wat(
+    df: DataFrame,
+    out_dir: str,
+    gzip_members: bool = True,
+    prefix: str = "wat",
+) -> DataFrame:
+    """Page-metadata DataFrame -> Common-Crawl-shaped WAT segments:
+    one ``WARC-Type: metadata`` record per page whose block is the
+    CC-style JSON envelope (Envelope -> Payload-Metadata ->
+    HTTP-Response-Metadata -> HTML-Metadata with Links + Head.Title),
+    completing the WARC/WAT/WET output triple.
+
+    Input columns: url (string), optional links (array<string>), title
+    (string), warc_ts (timestamp). Framing, manifest shape, gzip
+    determinism and the md5-urn WARC-Refers-To backlink all match
+    :func:`write_warc` / :func:`write_wet`. JSON serialization runs
+    executor-side inside mapInPandas — per-record Python cost on the
+    metadata rows only, never on page bodies.
+    """
+    import gzip as _gzip
+    import hashlib
+    import json as _json
+    import os
+
+    from pyspark import TaskContext
+
+    cols = df.columns
+    sel = [F.col("url")]
+    sel.append(
+        (F.col("links") if "links" in cols else F.array().cast("array<string>")).alias("links")
+    )
+    sel.append(
+        (F.col("title") if "title" in cols else F.lit(None).cast("string")).alias("title")
+    )
+    sel.append(
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("wdate")
+        if "warc_ts" in cols
+        else F.lit(None).cast("string").alias("wdate")
+    )
+    src = df.select(*sel)
+    ext = ".warc.wat.gz" if gzip_members else ".warc.wat"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
+        n_rec, n_bytes = 0, 0
+        with open(path, "wb") as fh:
+            for pdf in batches:
+                for url, links, title, wdate in zip(
+                    pdf["url"], pdf["links"], pdf["title"], pdf["wdate"]
+                ):
+                    envelope = {
+                        "Envelope": {
+                            "WARC-Header-Metadata": {
+                                "WARC-Target-URI": url,
+                                "WARC-Type": "response",
+                                "WARC-Date": wdate or "1970-01-01T00:00:00Z",
+                            },
+                            "Payload-Metadata": {
+                                "HTTP-Response-Metadata": {
+                                    "HTML-Metadata": {
+                                        "Head": {"Title": title},
+                                        "Links": [
+                                            {"path": "A@/href", "url": u}
+                                            for u in (
+                                                list(links) if links is not None else []
+                                            )
+                                        ],
+                                    }
+                                }
+                            },
+                        }
+                    }
+                    body = _json.dumps(
+                        envelope, sort_keys=True, separators=(",", ":")
+                    ).encode("utf-8")
+                    resp_rid = hashlib.md5(
+                        f"{url}|{wdate}".encode("utf-8", "replace")
+                    ).hexdigest()
+                    rid = hashlib.md5(
+                        f"wat|{url}|{wdate}".encode("utf-8", "replace")
+                    ).hexdigest()
+                    head = (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: metadata\r\n"
+                        f"WARC-Target-URI: {url}\r\n"
+                        f"WARC-Date: {wdate or '1970-01-01T00:00:00Z'}\r\n"
+                        f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+                        f"WARC-Refers-To: <urn:md5:{resp_rid}>\r\n"
+                        "Content-Type: application/json\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode()
+                    rec = head + body + b"\r\n\r\n"
+                    if gzip_members:
+                        rec = _gzip.compress(rec, mtime=0)
+                    fh.write(rec)
+                    n_rec += 1
+                    n_bytes += len(rec)
+        if n_rec == 0:
+            os.remove(path)
+            yield pd.DataFrame(columns=["path", "n_records", "n_bytes"])
+        else:
+            yield pd.DataFrame([(path, n_rec, n_bytes)], columns=["path", "n_records", "n_bytes"])
+
+    return src.mapInPandas(run, WRITE_MANIFEST_SCHEMA)
+
+
+def read_wat_binary(spark: SparkSession, path: str) -> DataFrame:
+    """WAT file(s) -> (url, warc_ts, title, links, n_links): metadata
+    records only; the JSON envelope is parsed executor-side, malformed
+    JSON yields a row with null title and empty links rather than
+    killing the scan (external-input posture, like try_to_timestamp)."""
+    import json as _json
+
+    raw = spark.read.format("binaryFile").load(path).select("content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                data = _gunzip_members(bytes(content))
+                for headers, block in _iter_binary_records(data):
+                    if headers.get("warc-type", "") != "metadata":
+                        continue
+                    url = headers.get("warc-target-uri", "")
+                    if not url:
+                        continue
+                    title, links = None, []
+                    try:
+                        env = _json.loads(block.decode("utf-8", "replace"))
+                        html_meta = (
+                            env.get("Envelope", {})
+                            .get("Payload-Metadata", {})
+                            .get("HTTP-Response-Metadata", {})
+                            .get("HTML-Metadata", {})
+                        )
+                        title = html_meta.get("Head", {}).get("Title")
+                        links = [
+                            d.get("url")
+                            for d in html_meta.get("Links", [])
+                            if isinstance(d, dict) and d.get("url")
+                        ]
+                    except (ValueError, AttributeError):
+                        pass
+                    rows.append(
+                        (url, headers.get("warc-date", ""), title, links)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in WAT_SCHEMA.fields])
+
+    recs = raw.mapInPandas(run, WAT_SCHEMA)
+    return recs.select(
+        "url",
+        F.try_to_timestamp("warc_date", F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).alias("warc_ts"),
+        "title",
+        "links",
+        F.size("links").alias("n_links"),
     )

@@ -945,3 +945,48 @@ def test_wet_sink_roundtrip(spark, tmp_path):
     both = str(out / "*")
     assert read_wet_binary(spark, both).count() == 20
     assert read_warc_binary(spark, both).count() == 7
+
+
+def test_wat_sink_roundtrip(spark, tmp_path):
+    """write_wat -> read_wat_binary roundtrips page metadata (title +
+    links incl. empty/null cases) through the CC JSON envelope; WAT
+    metadata records are invisible to the WARC and WET readers."""
+    from gocrawler_spark.sources.warc import (
+        read_warc_binary,
+        read_wat_binary,
+        read_wet_binary,
+        write_wat,
+    )
+
+    rows = [
+        ("https://a.example/0", "2021-06-01T01:02:03Z", "Page «0»",
+         ["https://a.example/1", "https://b.example/x?a=1&b=2"]),
+        ("https://a.example/1", "2021-06-02T01:02:03Z", None, []),
+        ("https://b.example/2", "2021-06-03T01:02:03Z", 'quote " title', None),
+    ] + [
+        (f"https://c.example/{i}", "2021-06-04T01:02:03Z", f"t{i}",
+         [f"https://c.example/{i + 1}"])
+        for i in range(3, 20)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts string, title string, links array<string>"
+    ).selectExpr(
+        "url", "to_timestamp(ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\") as warc_ts",
+        "title", "links"
+    )
+    out = tmp_path / "wat"
+    out.mkdir()
+    manifest = write_wat(df.repartition(3), str(out)).collect()
+    assert sum(m["n_records"] for m in manifest) == 20
+    back = read_wat_binary(spark, str(out / "*.warc.wat.gz"))
+    got = {r["url"]: r for r in back.collect()}
+    assert len(got) == 20
+    for url, ts, title, links in rows:
+        r = got[url]
+        assert r["title"] == title
+        assert list(r["links"]) == (links or [])
+        assert r["n_links"] == len(links or [])
+        assert r["warc_ts"].isoformat().startswith(ts[:19])
+    # metadata records don't leak into the response/conversion readers
+    assert read_warc_binary(spark, str(out / "*")).count() == 0
+    assert read_wet_binary(spark, str(out / "*")).count() == 0
