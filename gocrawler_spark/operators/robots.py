@@ -3,8 +3,16 @@
 The reference relies on colly's default robots handling
 (``IgnoreRobotsTxt=false`` via temoto/robotstxt, go.mod:21)
 [colly v1.2.0]. Here the per-host rules live in a small ``robots``
-table; matching follows the standard longest-prefix-wins rule (allow
-wins prefix-length ties), with no rule ⇒ allowed.
+table; matching follows Google's REP specificity rule — the longest
+matching *pattern* wins, allow wins length ties, no rule ⇒ allowed —
+including the spec's ``*`` (any chars) and trailing ``$`` (end anchor)
+wildcards that temoto/robotstxt also implements. Plain-prefix rules
+(the overwhelming majority in real robots files) keep the cheap
+``startswith`` path; only rules containing a wildcard pay a regex
+match. temoto's findRule has a file-order quirk on exact length ties
+(later prefix rule wins via ``>=``); we keep the documented allow-wins
+tie like Google's spec — ties between an allow and a disallow of equal
+length are the only divergence, and the spec-side choice is safer.
 
 Plan shape: rules are pre-aggregated to one array per host and
 broadcast; the verdict is a pure JVM ``aggregate`` over that array
@@ -15,10 +23,50 @@ runs on every candidate URL every round.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _wild_regex_col(pattern):
+    """Java-regex column for a robots pattern containing ``*`` or a
+    trailing ``$`` (Google REP semantics): regex specials escaped,
+    ``*`` -> ``.*``, one trailing ``$`` -> end anchor, anchored at the
+    start. Built with JVM string functions so a million-host rules
+    table never collects to the driver."""
+    # escape Java-regex specials EXCEPT '*' (handled below); '$' is
+    # escaped here and the trailing one un-escaped back into an anchor
+    esc = F.regexp_replace(pattern, r"([.\[\]{}()+?^$\\|])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    # replacement '\$' keeps Java's replaceAll from reading '$' as a
+    # group reference
+    esc = F.regexp_replace(esc, r"\\\$$", r"\$")
+    return F.concat(F.lit("^"), esc)
+
+
+def _is_wild(pattern):
+    return pattern.contains("*") | pattern.endswith("$")
+
+
+def _wild_regex_py(pattern: str) -> str:
+    """Driver-side twin of :func:`_wild_regex_col` for the map-literal
+    plan (rules already collected)."""
+    esc = re.sub(r"([.\[\]{}()+?^$\\|])", r"\\\1", pattern)
+    esc = esc.replace("*", ".*")
+    if esc.endswith("\\$"):
+        esc = esc[:-2] + "$"
+    return "^" + esc
+
+
+def _rule_matches(path_col, prefix, rx):
+    """Match verdict for one rule: prefix rules stay startswith
+    (codegen), wildcard rules regex-match; ``rx`` is null for plain
+    prefixes."""
+    return F.when(rx.isNull(), path_col.startswith(prefix)).otherwise(
+        F.regexp_like(path_col, rx)
+    )
 
 
 def max_rules_per_host(robots: DataFrame) -> int | None:
@@ -96,13 +144,24 @@ def robots_filter(
             return candidates  # no rules at all -> everything allowed
         entries = []
         for host, rule, prefix in compiled.single_rule_rows:
-            entries += [F.lit(host),
-                        F.struct(F.lit(rule).alias("r"), F.lit(prefix).alias("p"))]
+            rx = (
+                _wild_regex_py(prefix)
+                if ("*" in prefix or prefix.endswith("$"))
+                else None
+            )
+            entries += [
+                F.lit(host),
+                F.struct(
+                    F.lit(rule).alias("r"),
+                    F.lit(prefix).alias("p"),
+                    F.lit(rx).cast("string").alias("x"),
+                ),
+            ]
         e = F.create_map(*entries)[F.col(host_col)]
         verdict = (
             e.isNull()
             | (e["r"] == "allow")
-            | ~F.col(path_col).startswith(e["p"])
+            | ~_rule_matches(F.col(path_col), e["p"], e["x"])
         )
         return candidates.filter(verdict)
     if max_rules is not None and max_rules <= 1:
@@ -110,6 +169,10 @@ def robots_filter(
             F.col("host").alias("_r_host"),
             F.col("rule").alias("_r_rule"),
             F.col("path_prefix").alias("_r_prefix"),
+            F.when(
+                _is_wild(F.col("path_prefix")),
+                _wild_regex_col(F.col("path_prefix")),
+            ).alias("_r_rx"),
         )
         joined = candidates.join(
             F.broadcast(rules1), F.col(host_col) == F.col("_r_host"), "left"
@@ -117,25 +180,38 @@ def robots_filter(
         verdict = (
             F.col("_r_rule").isNull()
             | (F.col("_r_rule") == "allow")
-            | ~F.col(path_col).startswith(F.col("_r_prefix"))
+            | ~_rule_matches(F.col(path_col), F.col("_r_prefix"), F.col("_r_rx"))
         )
-        return joined.filter(verdict).drop("_r_host", "_r_rule", "_r_prefix")
+        return joined.filter(verdict).drop(
+            "_r_host", "_r_rule", "_r_prefix", "_r_rx"
+        )
 
     rules_by_host = robots.groupBy(F.col("host").alias("_r_host")).agg(
         F.collect_list(
-            F.struct(F.col("path_prefix").alias("p"), (F.col("rule") == "allow").alias("a"))
+            F.struct(
+                F.col("path_prefix").alias("p"),
+                (F.col("rule") == "allow").alias("a"),
+                F.when(
+                    _is_wild(F.col("path_prefix")),
+                    _wild_regex_col(F.col("path_prefix")),
+                ).alias("x"),
+            )
         ).alias("_rules")
     )
     joined = candidates.join(
         F.broadcast(rules_by_host), F.col(host_col) == F.col("_r_host"), "left"
     )
-    # fold: track (best_len, allow); longer prefix wins, equal length ->
-    # allow wins; no matching rule -> allowed
+    # fold: track (best_len, allow); longer pattern wins (Google REP
+    # specificity — raw pattern length, wildcards included), equal
+    # length -> allow wins; no matching rule -> allowed
     verdict = F.aggregate(
-        F.coalesce(F.col("_rules"), F.array().cast("array<struct<p:string,a:boolean>>")),
+        F.coalesce(
+            F.col("_rules"),
+            F.array().cast("array<struct<p:string,a:boolean,x:string>>"),
+        ),
         F.struct(F.lit(-1).alias("len"), F.lit(True).alias("allow")),
         lambda acc, r: F.when(
-            F.col(path_col).startswith(r["p"])
+            _rule_matches(F.col(path_col), r["p"], r["x"])
             & (
                 (F.length(r["p"]) > acc["len"])
                 | ((F.length(r["p"]) == acc["len"]) & r["a"] & ~acc["allow"])

@@ -25,6 +25,7 @@ Round spec shared with plans/crawl.py — keep the two in lockstep:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
@@ -58,14 +59,27 @@ def _allowed_hosts(profile: SiteProfile) -> set[str]:
     return {d for d in profile.allowed_domains if "//" not in d}
 
 
+def _robots_rule_matches(pattern: str, path: str) -> bool:
+    """Google-REP pattern match, the Python twin of
+    ``operators.robots._rule_matches``: plain patterns are prefixes;
+    ``*`` matches any chars and a trailing ``$`` anchors the end."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in body.split("*"))
+    return re.match(rx + ("$" if anchored else ""), path) is not None
+
+
 def _robots_allowed(robots_rules, host: str, path: str) -> bool:
-    """Longest-prefix wins; tie -> allow; no matching rule -> allow."""
+    """Longest matching pattern wins (REP specificity, raw pattern
+    length); tie -> allow; no matching rule -> allow."""
     best_len, best_allow = -1, True
     for r in robots_rules:
         if r["host"] != host:
             continue
         pref = r["path_prefix"]
-        if path.startswith(pref):
+        if _robots_rule_matches(pref, path):
             L = len(pref)
             allow = r["rule"] == "allow"
             if L > best_len or (L == best_len and allow):

@@ -129,6 +129,54 @@ def test_robots_filter_three_plans_agree(spark):
         assert {r["url"] for r in df.collect()} == expected
 
 
+def test_robots_wildcards_three_plans(spark):
+    """Google-REP ``*`` and trailing-``$`` wildcards (which
+    temoto/robotstxt also implements) match identically in all three
+    robots_filter plans AND in the golden simulator's matcher;
+    specificity = raw pattern length, allow wins ties; plain-prefix
+    rules keep the startswith path."""
+    from gocrawler_spark.operators.robots import CompiledRobots, compile_robots
+    from gocrawler_spark.sim.simulator import _robots_allowed
+
+    rows = [
+        {"host": "a.example", "agent": "*", "rule": "disallow", "path_prefix": "/*.php$", "crawl_delay_ms": 0},
+        {"host": "a.example", "agent": "*", "rule": "allow", "path_prefix": "/public/*.php$", "crawl_delay_ms": 0},
+        {"host": "b.example", "agent": "*", "rule": "disallow", "path_prefix": "/fish*", "crawl_delay_ms": 0},
+        {"host": "c.example", "agent": "*", "rule": "disallow", "path_prefix": "/$", "crawl_delay_ms": 0},
+    ]
+    paths = [
+        ("a.example", "/x.php"), ("a.example", "/x.php?q=1"),
+        ("a.example", "/public/x.php"), ("a.example", "/ok"),
+        ("b.example", "/fishheads"), ("b.example", "/catfish"),
+        ("c.example", "/"), ("c.example", "/x"),
+        ("d.example", "/anything"),
+    ]
+    cands = spark.createDataFrame(
+        [(f"https://{h}{p}", h, p) for h, p in paths],
+        "url string, host string, path string",
+    )
+    robots = robots_df(spark, rows)
+    expected = {f"https://{h}{p}" for h, p in paths if _robots_allowed(rows, h, p)}
+    # the battery must exercise both verdicts or the test proves nothing
+    assert expected and len(expected) < len(paths)
+    via_fold = robots_filter(
+        cands, robots, compiled=CompiledRobots(max_rules=2, single_rule_rows=None)
+    )
+    assert {r["url"] for r in via_fold.collect()} == expected
+    # single-wildcard-rule hosts only -> the map-literal and join plans
+    single = [r for r in rows if r["host"] != "a.example"]
+    sdf = robots_df(spark, single)
+    sexp = {f"https://{h}{p}" for h, p in paths if _robots_allowed(single, h, p)}
+    compiled = compile_robots(sdf)
+    assert compiled.single_rule_rows is not None
+    via_map = robots_filter(cands, sdf, compiled=compiled)
+    via_join = robots_filter(
+        cands, sdf, compiled=CompiledRobots(max_rules=1, single_rule_rows=None)
+    )
+    for df in (via_map, via_join):
+        assert {r["url"] for r in df.collect()} == sexp
+
+
 def test_robots_parse_semantics(spark):
     """parse_robots_pages: grouping, agent matching, comments, empty
     Disallow, fractional Crawl-delay — temoto/robotstxt semantics."""
