@@ -887,11 +887,38 @@ def q52(spark, sf):
         F.col("title").alias("info"),
         F.col("n_links").cast("long").alias("n"),
     )
+    # sixth leg: the CDX(J) index over the warc_sink segments — write_warc's
+    # per-record (filename, offset, length) rows range-sorted into CDXJ
+    # shards + cluster.idx, then answered through the shard-PRUNED prefix
+    # lookup (cdx_lookup), so the leg exercises SURT keying, global sort
+    # and cluster.idx routing in one pass; n = record byte length
+    # (deterministic per record: per-member gzip, mtime=0)
+    from gocrawler_spark.sources.cdx import cdx_lookup, write_cdx
+
+    cdx_warc_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"gocrawler_q52_cdxwarc_{os.path.basename(sf.rstrip('/'))}",
+    )
+    cdx_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"gocrawler_q52_cdx_{os.path.basename(sf.rstrip('/'))}",
+    )
+    shutil.rmtree(cdx_warc_dir, ignore_errors=True)
+    shutil.rmtree(cdx_dir, ignore_errors=True)
+    os.makedirs(cdx_warc_dir, exist_ok=True)
+    idx = write_warc(pages.repartition(2), cdx_warc_dir, per_record_index=True)
+    write_cdx(idx, cdx_dir, n_shards=2)
+    cdx_rows = cdx_lookup(spark, cdx_dir, "example,warc)").select(
+        F.lit("cdx").alias("src"), "url",
+        F.col("urlkey").alias("info"),
+        F.col("length").alias("n"),
+    )
     return (
         warc_rows.unionByName(proxy_rows)
         .unionByName(sink_rows)
         .unionByName(wet_rows)
         .unionByName(wat_rows)
+        .unionByName(cdx_rows)
     )
 
 
@@ -1744,11 +1771,15 @@ _URLNORM_ORACLE = (
     "s9 AS (SELECT *, CASE WHEN split_part(before_frag, '?', 1) = '' THEN '/' ELSE split_part(before_frag, '?', 1) END AS path, "
     " CASE WHEN contains(before_frag, '?') THEN substr(before_frag, strpos(before_frag, '?') + 1) END AS query FROM s8), "
     "s10 AS (SELECT *, list_sort(list_filter(string_split(coalesce(query, ''), '&'), "
-    f" p -> length(p) > 0 AND NOT regexp_matches(split_part(p, '=', 1), {_TRACKING_SQL}))) AS params FROM s9) "
-    "SELECT url, CASE WHEN contains(url, '://') AND host <> '' AND host IS NOT NULL THEN "
-    " scheme || '://' || host || port_part || path || "
-    " (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END) END AS canon "
-    "FROM s10"
+    f" p -> length(p) > 0 AND NOT regexp_matches(split_part(p, '=', 1), {_TRACKING_SQL}))) AS params FROM s9), "
+    "s11 AS (SELECT *, contains(url, '://') AND host <> '' AND host IS NOT NULL AS ok, "
+    " CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS query_part, "
+    " CASE WHEN host LIKE 'www.%' THEN substr(host, 5) ELSE host END AS host_nw FROM s10), "
+    "s12 AS (SELECT *, CASE WHEN is_v6 OR regexp_matches(host_nw, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$') "
+    " THEN host_nw ELSE array_to_string(list_reverse(string_split(host_nw, '.')), ',') END AS key_host FROM s11) "
+    "SELECT url, CASE WHEN ok THEN scheme || '://' || host || port_part || path || query_part END AS canon, "
+    "CASE WHEN ok THEN key_host || port_part || ')' || path || query_part END AS surt "
+    "FROM s12"
 )
 
 
@@ -1758,8 +1789,10 @@ def q64(spark, sf):
     # deterministic adversarial battery rendered from events; the twin
     # re-implements the whole algorithm in DuckDB string/list functions
     # (split_part/list_filter/list_sort), sharing only the tracking-key
-    # regex constant
-    from gocrawler_spark.functions.urlnorm import canonical_url
+    # regex constant; the surt column (CDX index key: reversed host
+    # labels, www-stripped, IP literals verbatim) is twinned via DuckDB
+    # list_reverse over the same canon pieces
+    from gocrawler_spark.functions.urlnorm import canonical_url, surt
 
     e = _t(spark, sf, "events")
     mod = (F.col("event_id") % 6).cast("int")
@@ -1773,7 +1806,9 @@ def q64(spark, sf):
         .when(mod == 4, F.concat(F.lit("relative/path/"), F.col("event_id").cast("string")))
         .otherwise(F.concat(F.lit("https://[2001:DB8::"), uid(9), F.lit("]:443/x?q="), eid(5), F.lit("&q="), eid(3)))
     )
-    return e.select(url.alias("url")).select("url", canonical_url("url").alias("canon"))
+    return e.select(url.alias("url")).select(
+        "url", canonical_url("url").alias("canon"), surt("url").alias("surt")
+    )
 
 
 @_q("q63_gopher_rules", _GOPHER_ORACLE)

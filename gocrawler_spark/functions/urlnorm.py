@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["canonical_url", "TRACKING_KEY_RE"]
+__all__ = ["canonical_url", "surt", "TRACKING_KEY_RE"]
 
 TRACKING_KEY_RE = r"(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)$"
 
@@ -83,4 +83,53 @@ def canonical_url(url, tracking_key_re: str = TRACKING_KEY_RE) -> Column:
     return F.when(
         u.contains("://") & (host != "") & host.isNotNull(),
         F.concat(scheme, F.lit("://"), host, port_part, path, query_part),
+    )
+
+
+_IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
+def surt(url, tracking_key_re: str = TRACKING_KEY_RE) -> Column:
+    """Sort-friendly URI Reordering Transform (SURT) key over the
+    canonical URL — the public key format of web-archive CDX indexes
+    (IIPC OpenWayback SURT / Common Crawl's cdx-*.gz index):
+    ``com,example)/path?a=1`` for ``https://www.example.com/path?a=1``.
+
+    Reversing the host labels makes a plain byte sort cluster every URL
+    of a registrable domain (and its subdomains) contiguously — that
+    locality is the whole point at archive scale: a sorted CDX shard
+    answers per-domain lookups with a binary search instead of a scan.
+
+    Rules on top of canonical_url (which already lowercases, strips
+    default ports / fragments / userinfo / tracking params, sorts the
+    query): drop the scheme; strip ONE leading ``www.`` label (the
+    wayback key-maker's massage step); reverse dotted host labels and
+    join with ','; IPv4 literals and bracketed IPv6 hosts are kept
+    verbatim (label-reversing an address is meaningless); a non-default
+    port rides after the host as ``:port``; then ``)`` + path + query.
+    NULL in (relative / hostless) -> NULL out, same as canonical_url.
+
+    Pure JVM expression tree (split/reverse/array_join) — codegen-
+    friendly, no UDF, safe in a 10^11-row frontier projection.
+    """
+    canon = canonical_url(url, tracking_key_re)
+    after = canon.substr(F.instr(canon, "://") + F.lit(3), F.lit(_BIG))
+    # canonical form always has a path starting '/', so the authority is
+    # everything before the first '/'
+    authority = F.substring_index(after, "/", 1)
+    rest = after.substr(F.length(authority) + F.lit(1), F.lit(_BIG))
+    is_v6 = authority.startswith("[")
+    host = F.when(
+        is_v6, F.concat(F.substring_index(authority, "]", 1), F.lit("]"))
+    ).otherwise(F.substring_index(authority, ":", 1))
+    port_part = authority.substr(F.length(host) + F.lit(1), F.lit(_BIG))
+    host_nw = F.when(
+        host.startswith("www."), host.substr(F.lit(5), F.lit(_BIG))
+    ).otherwise(host)
+    key_host = F.when(
+        is_v6 | host_nw.rlike(_IPV4_RE), host_nw
+    ).otherwise(F.array_join(F.reverse(F.split(host_nw, r"\.")), ","))
+    return F.when(
+        canon.isNotNull(),
+        F.concat(key_host, port_part, F.lit(")"), rest),
     )

@@ -43,6 +43,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -276,11 +277,26 @@ WRITE_MANIFEST_SCHEMA = StructType(
 )
 
 
+WARC_INDEX_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("wdate", StringType()),
+        StructField("status", IntegerType()),
+        StructField("mime", StringType()),
+        StructField("digest", StringType()),
+        StructField("filename", StringType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+    ]
+)
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,
     gzip_members: bool = True,
     prefix: str = "part",
+    per_record_index: bool = False,
 ) -> DataFrame:
     """Pages DataFrame -> Common-Crawl-shaped WARC segment files, one
     file per partition, written EXECUTOR-side (no driver collect).
@@ -303,7 +319,18 @@ def write_warc(
     WARC-Record-ID is a deterministic md5-derived urn (same input ->
     byte-identical segment), not a random uuid: reproducibility is worth
     more to a pipeline than spec-cosmetic uniqueness.
+
+    With ``per_record_index=True`` the returned DataFrame is instead ONE
+    ROW PER RECORD (WARC_INDEX_SCHEMA: url, wdate, status, mime,
+    sha1-base32 payload digest — Common Crawl's digest convention —
+    filename, byte offset, byte length). Only the writing task knows a
+    record's offset, so this is the only place the index can be built
+    without re-reading the segment; with ``gzip_members=True`` each
+    (offset, length) slice is a self-contained gzip member, i.e. the
+    exact ranged-GET property Common Crawl's cdx index relies on. Feed
+    these rows to :func:`gocrawler_spark.sources.cdx.write_cdx`.
     """
+    import base64
     import gzip as _gzip
     import hashlib
     import os
@@ -330,10 +357,13 @@ def write_warc(
     src = df.select(*sel)
     ext = ".warc.gz" if gzip_members else ".warc"
 
+    idx_cols = [f.name for f in WARC_INDEX_SCHEMA.fields]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
         n_rec, n_bytes = 0, 0
+        idx_rows = []
         with open(path, "wb") as fh:
             for pdf in batches:
                 for url, html, wdate, status, mime in zip(
@@ -359,15 +389,28 @@ def write_warc(
                     if gzip_members:
                         rec = _gzip.compress(rec, mtime=0)  # deterministic member
                     fh.write(rec)
+                    if per_record_index:
+                        digest = base64.b32encode(
+                            hashlib.sha1(body).digest()
+                        ).decode("ascii")
+                        idx_rows.append(
+                            (url, wdate, int(status), mime, f"sha1:{digest}",
+                             path, n_bytes, len(rec))
+                        )
                     n_rec += 1
                     n_bytes += len(rec)
         if n_rec == 0:
             os.remove(path)  # no empty segments
+        if per_record_index:
+            yield pd.DataFrame(idx_rows, columns=idx_cols)
+        elif n_rec == 0:
             yield pd.DataFrame(columns=["path", "n_records", "n_bytes"])
         else:
             yield pd.DataFrame([(path, n_rec, n_bytes)], columns=["path", "n_records", "n_bytes"])
 
-    return src.mapInPandas(run, WRITE_MANIFEST_SCHEMA)
+    return src.mapInPandas(
+        run, WARC_INDEX_SCHEMA if per_record_index else WRITE_MANIFEST_SCHEMA
+    )
 
 
 WET_SCHEMA = StructType(

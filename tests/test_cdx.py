@@ -1,0 +1,136 @@
+"""CDX(J) index over WARC segments: per-record index rows from
+write_warc, globally-sorted sharded CDXJ + cluster.idx, shard-pruned
+prefix lookup, and ranged single-record fetch by (filename, offset,
+length) — the Common Crawl index contract end-to-end."""
+
+import gzip
+import os
+
+from gocrawler_spark.sources.cdx import (
+    _shards_for_prefix,
+    cdx_lookup,
+    fetch_warc_record,
+    read_cdx,
+    write_cdx,
+)
+from gocrawler_spark.sources.warc import write_warc
+
+DOMAINS = [f"site{d:02d}.example" for d in range(10)]
+
+
+def _pages(spark, n=40):
+    rows = [
+        (
+            f"https://www.{DOMAINS[i % 10]}/page/{i}?b=2&a=1",
+            f"2021-06-{1 + i % 27:02d}T01:02:03Z",
+            f"<html><body>doc {i}</body></html>".encode(),
+            200 if i % 5 else 404,
+            "text/html",
+        )
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(
+        rows, "url string, ts string, html binary, http_status int, mime string"
+    ).selectExpr(
+        "url", "to_timestamp(ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\") as warc_ts",
+        "html", "http_status", "mime"
+    )
+
+
+def _write_all(spark, tmp_path, n=40, n_shards=3):
+    rows, df = _pages(spark, n)
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    records = write_warc(df.repartition(4), str(warc_dir), per_record_index=True)
+    idx_dir = tmp_path / "index"
+    manifest = write_cdx(records, str(idx_dir), n_shards=n_shards)
+    return rows, str(warc_dir), str(idx_dir), manifest
+
+
+def test_cdx_write_sorted_shards_and_roundtrip(spark, tmp_path):
+    rows, warc_dir, idx_dir, manifest = _write_all(spark, tmp_path)
+    files = sorted(f for f in os.listdir(idx_dir) if f.startswith("cdx-"))
+    assert [os.path.basename(m["path"]) for m in manifest] == files
+    assert sum(m["n_records"] for m in manifest) == len(rows)
+    # global order: concatenating shards in filename order is sorted,
+    # and each shard's range hand-off respects the previous shard's last
+    all_lines = []
+    for f in files:
+        with gzip.open(os.path.join(idx_dir, f), "rt", encoding="utf-8") as fh:
+            all_lines.extend(line.rstrip("\n") for line in fh)
+    assert all_lines == sorted(all_lines) and len(all_lines) == len(rows)
+    # cluster.idx mirrors the manifest
+    cl = open(os.path.join(idx_dir, "cluster.idx"), encoding="utf-8").read()
+    assert len(cl.strip().split("\n")) == len(manifest)
+    # read back: every capture present with its CDXJ fields
+    back = read_cdx(spark, os.path.join(idx_dir, "cdx-*")).collect()
+    got = {r["url"]: r for r in back}
+    assert len(got) == len(rows)
+    for url, ts, html, status, mime in rows:
+        r = got[url]
+        assert r["status"] == status and r["mime"] == mime
+        assert r["ts"] == ts[:4] + ts[5:7] + ts[8:10] + ts[11:13] + ts[14:16] + ts[17:19]
+        assert r["digest"].startswith("sha1:") and len(r["digest"]) == 5 + 32
+        assert r["length"] > 0 and r["offset"] >= 0
+        # urlkey: SURT — reversed host labels, www-stripped, sorted query
+        host = url.split("/")[2].removeprefix("www.")
+        want_key = ",".join(reversed(host.split("."))) + ")/" + url.split("/", 3)[3]
+        want_key = want_key.replace("?b=2&a=1", "?a=1&b=2")
+        assert r["urlkey"] == want_key
+
+
+def test_cdx_lookup_prunes_shards(spark, tmp_path):
+    rows, warc_dir, idx_dir, manifest = _write_all(spark, tmp_path)
+    assert len(manifest) == 3  # the pruning claim needs >1 shard
+    # one domain = one contiguous key run; it can straddle at most one
+    # range boundary, so the pruned set is a strict subset of the shards
+    key = "example,site03)"
+    picked = _shards_for_prefix(idx_dir, key)
+    assert 1 <= len(picked) <= 2 < len(manifest)
+    hits = cdx_lookup(spark, idx_dir, key).collect()
+    want = {u for (u, *_rest) in rows if "site03.example" in u}
+    assert {r["url"] for r in hits} == want and len(hits) == len(want)
+    # registrable-domain prefix (no ')') also matches subdomain-free set
+    assert {r["url"] for r in cdx_lookup(spark, idx_dir, "example,site03").collect()} == want
+    # prefix beyond every key -> empty, zero shards read
+    assert _shards_for_prefix(idx_dir, "zzz") == []
+    assert cdx_lookup(spark, idx_dir, "zzz").count() == 0
+
+
+def test_cdx_offsets_fetch_single_records(spark, tmp_path):
+    """The consumer contract: a CDX row's (filename, offset, length) is
+    a self-contained ranged read of exactly its WARC record (per-member
+    gzip), no scan of the rest of the segment."""
+    rows, warc_dir, idx_dir, _ = _write_all(spark, tmp_path, n=20)
+    body_of = {u: h for (u, _t, h, _s, _m) in rows}
+    for r in read_cdx(spark, os.path.join(idx_dir, "cdx-*")).collect():
+        headers, payload = fetch_warc_record(
+            warc_dir, r["filename"], r["offset"], r["length"]
+        )
+        assert headers["warc-target-uri"] == r["url"]
+        assert headers["warc-type"] == "response"
+        assert payload.endswith(body_of[r["url"]])
+
+
+def test_warc_index_rows_match_manifest(spark, tmp_path):
+    """per_record_index=True writes byte-identical segments to the
+    manifest path (same content, different return shape) and its
+    offsets/lengths tile each file exactly."""
+    _rows, df = _pages(spark, 24)
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    write_warc(df.repartition(3), str(d1)).collect()
+    recs = write_warc(df.repartition(3), str(d2), per_record_index=True).collect()
+    for f in sorted(os.listdir(d1)):
+        b1 = open(d1 / f, "rb").read()
+        b2 = open(d2 / f, "rb").read()
+        assert b1 == b2
+        per_file = sorted(
+            ((r["offset"], r["length"]) for r in recs
+             if os.path.basename(r["filename"]) == f)
+        )
+        pos = 0
+        for off, ln in per_file:
+            assert off == pos
+            pos += ln
+        assert pos == len(b2)

@@ -135,3 +135,60 @@ def test_crawl_canonicalize_urls_config(spark, tmp_path):
         r["url"] for r in cat2.read("frontier").select("url").collect()
     )
     assert raw_urls == sorted([canon, aliases[1]])
+
+
+SURT_CASES = [
+    # (url, expected surt key)
+    ("https://www.Example.COM/path?b=2&a=1#f", "com,example)/path?a=1&b=2"),
+    ("http://Sub.Shop.Example.co.uk:80/x", "uk,co,example,shop,sub)/x"),
+    ("http://example.com:8080/x?z=1", "com,example:8080)/x?z=1"),
+    ("http://example.com", "com,example)/"),
+    ("http://www.example.com", "com,example)/"),
+    # only ONE leading www. label is stripped
+    ("http://www.www.example.com/a", "com,example,www)/a"),
+    # IP literals are never label-reversed
+    ("http://192.168.10.1:8080/admin", "192.168.10.1:8080)/admin"),
+    ("http://[2001:DB8::1]:8080/v6?x=1", "[2001:db8::1]:8080)/v6?x=1"),
+    ("https://[2001:db8::2]:443/y", "[2001:db8::2])/y"),
+    ("relative/path", None),
+    ("http:///nohost", None),
+]
+
+
+def test_surt_keys(spark):
+    """SURT key format (web-archive CDX index key: reversed host labels,
+    www-stripped, default ports dropped, sorted tracking-free query)
+    against hand-computed expectations."""
+    from gocrawler_spark.functions.urlnorm import surt
+
+    df = spark.createDataFrame([(u,) for (u, _) in SURT_CASES], "url string")
+    got = {
+        r["url"]: r["s"]
+        for r in df.select("url", surt("url").alias("s")).collect()
+    }
+    for u, want in SURT_CASES:
+        assert got[u] == want, (u, got[u], want)
+    plan = (
+        df.select(surt("url").alias("s"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_surt_sort_clusters_domains(spark):
+    """Byte-sorting SURT keys clusters a registrable domain with all its
+    subdomains contiguously — the property CDX binary search relies on."""
+    from gocrawler_spark.functions.urlnorm import surt
+
+    urls = [
+        "http://a.example.com/1",
+        "http://zzz.other.net/x",
+        "http://example.com/2",
+        "http://b.example.com/3",
+        "http://aardvark.aaa/y",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    keys = sorted(r["s"] for r in df.select(surt("url").alias("s")).collect())
+    dom = [k for k in keys if k.startswith("com,example")]
+    lo, hi = keys.index(dom[0]), keys.index(dom[-1])
+    assert keys[lo : hi + 1] == dom and len(dom) == 3
