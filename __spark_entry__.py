@@ -1313,6 +1313,29 @@ _ROBOTS_BODY_SQL = (
     "CASE WHEN k%4=0 THEN chr(10) || 'User-agent: other' || chr(10) || 'Disallow: /' || chr(10) ELSE '' END"
 )
 
+# sitemap bodies per k: k%3==0 renders a <sitemapindex> (one child with
+# full-timestamp lastmod, one without), others a <urlset> with a
+# whitespace+entity loc and date-only lastmod, a numeric-offset lastmod,
+# a lastmod-less url, a loc-less block (dropped) and a malformed lastmod
+# (NULL) — every grammar branch parse_sitemap_pages claims
+_SMAP_H = "printf('smap%03d.example', k)"
+
+_SITEMAP_BODY_SQL = (
+    "CASE WHEN k%3=0 THEN "
+    f"'<sitemapindex>' || chr(10) || '<sitemap><loc>https://' || {_SMAP_H} || "
+    "'/s1.xml</loc><lastmod>2021-02-01T0' || cast(k%10 AS varchar) || ':00:00Z</lastmod></sitemap>' || chr(10) || "
+    f"'<sitemap><loc>https://' || {_SMAP_H} || '/s2.xml</loc></sitemap>' || chr(10) || '</sitemapindex>' "
+    "ELSE '<urlset>' || chr(10) || "
+    f"'<url><loc> https://' || {_SMAP_H} || '/p/' || cast(k AS varchar) || "
+    "'?a=1&amp;b=2 </loc><lastmod>' || printf('2021-06-%02d', k+1) || '</lastmod></url>' || chr(10) || "
+    f"'<url><loc>https://' || {_SMAP_H} || '/q/' || cast(k AS varchar) || "
+    "'</loc><lastmod>2021-06-02T03:04:0' || cast(k%10 AS varchar) || '+02:00</lastmod></url>' || chr(10) || "
+    f"'<url><loc>https://' || {_SMAP_H} || '/r/' || cast(k AS varchar) || '</loc></url>' || chr(10) || "
+    "'<url><lastmod>2021-01-01</lastmod></url>' || chr(10) || "
+    f"'<url><loc>https://' || {_SMAP_H} || '/bad</loc><lastmod>not-a-date</lastmod></url>' || chr(10) || "
+    "'</urlset>' END"
+)
+
 _ROBOTS_PARSE_ORACLE = f"""
 WITH ks AS (SELECT DISTINCT cast(doc_id % 12 AS int) AS k FROM documents),
 bodies AS (SELECT printf('host%03d.example', k) AS host, {_ROBOTS_BODY_SQL} AS body FROM ks),
@@ -1354,6 +1377,26 @@ SELECT b.host, b.agent,
        cast(coalesce(d.cd, 0) AS bigint) AS crawl_delay_ms
 FROM best b LEFT JOIN rules r USING (host, gid) LEFT JOIN delays d USING (host, gid)
 WHERE r.rule IS NOT NULL OR d.cd IS NOT NULL
+UNION ALL
+-- sitemap leg: sitemaps.org XML parsed by an independent SQL parser;
+-- agent carries the entry kind, path_prefix the unescaped <loc>,
+-- crawl_delay_ms the <lastmod> epoch ms (NULL when absent/malformed)
+SELECT host, kind AS agent, 'sitemap' AS rule,
+       replace(replace(replace(replace(replace(loc0, '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&apos;', ''''), '&amp;', '&') AS path_prefix,
+       epoch_ms(coalesce(
+         try_strptime(replace(lm, 'Z', '+00:00'), '%Y-%m-%dT%H:%M:%S%z')::timestamp,
+         try_strptime(lm, '%Y-%m-%d'))) AS crawl_delay_ms
+FROM (
+  SELECT host,
+         CASE WHEN starts_with(block, '<sitemap>') THEN 'sitemap' ELSE 'url' END AS kind,
+         regexp_extract(block, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc0,
+         nullif(regexp_extract(block, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lm
+  FROM (
+    SELECT host,
+           unnest(regexp_extract_all(body, '(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>')) AS block
+    FROM (SELECT printf('smap%03d.example', k) AS host, {_SITEMAP_BODY_SQL} AS body FROM ks)))
+WHERE loc0 <> ''
 """
 
 
@@ -1392,7 +1435,48 @@ def q53(spark, sf):
         F.format_string("https://host%03d.example/robots.txt", k).alias("url"),
         body.alias("body"),
     )
-    return parse_robots_pages(pages, user_agent=_ROBOTS_UA, body_col="body")
+    robots_leg = parse_robots_pages(pages, user_agent=_ROBOTS_UA, body_col="body")
+    # sitemap leg (same battery-per-k pattern): sitemaps.org XML through
+    # operators/sitemap.parse_sitemap_pages vs the oracle's independent
+    # SQL parser; mapped into the robots shape (agent=kind, rule=
+    # 'sitemap', path_prefix=loc, crawl_delay_ms=lastmod epoch ms)
+    from gocrawler_spark.operators.sitemap import parse_sitemap_pages
+
+    h = F.format_string("smap%03d.example", k)
+    k_s = k.cast("string")
+    smap_body = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit("<sitemapindex>\n<sitemap><loc>https://"), h,
+            F.lit("/s1.xml</loc><lastmod>2021-02-01T0"), (k % 10).cast("string"),
+            F.lit(":00:00Z</lastmod></sitemap>\n<sitemap><loc>https://"), h,
+            F.lit("/s2.xml</loc></sitemap>\n</sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<urlset>\n<url><loc> https://"), h, F.lit("/p/"), k_s,
+            F.lit("?a=1&amp;b=2 </loc><lastmod>"),
+            F.format_string("2021-06-%02d", k + 1),
+            F.lit("</lastmod></url>\n<url><loc>https://"), h, F.lit("/q/"), k_s,
+            F.lit("</loc><lastmod>2021-06-02T03:04:0"), (k % 10).cast("string"),
+            F.lit("+02:00</lastmod></url>\n<url><loc>https://"), h, F.lit("/r/"),
+            k_s, F.lit("</loc></url>\n<url><lastmod>2021-01-01</lastmod></url>\n"
+                       "<url><loc>https://"),
+            h, F.lit("/bad</loc><lastmod>not-a-date</lastmod></url>\n</urlset>"),
+        )
+    )
+    spages = ks.select(
+        F.format_string("https://smap%03d.example/sitemap.xml", k).alias("url"),
+        smap_body.alias("body"),
+    )
+    smap_leg = parse_sitemap_pages(spages, body_col="body").select(
+        "host",
+        F.col("kind").alias("agent"),
+        F.lit("sitemap").alias("rule"),
+        F.col("loc").alias("path_prefix"),
+        F.col("lastmod_ms").alias("crawl_delay_ms"),
+    )
+    return robots_leg.unionByName(smap_leg)
 
 
 def _stream_table(spark: SparkSession, sf: str, name: str) -> DataFrame:
