@@ -1781,7 +1781,16 @@ def _pagerank_oracle_sql(iters: int = _PR_ITERS) -> str:
             f"r{k} AS MATERIALIZED (SELECT v.id, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * (coalesce(c.inr, 0.0) + (SELECT dang FROM d{k}) / (SELECT n FROM nn)) AS rank, v.has_out "
             f"FROM {p} v LEFT JOIN c{k} c ON v.id = c.id)"
         )
-    return head + ", " + ", ".join(steps) + f" SELECT id, round(rank, 8) AS rank8 FROM r{iters}"
+    # priority tier: exact quantile_cont thresholds over the ROUNDED
+    # ranks (both engines interpolate a + (b-a)*frac on identical
+    # doubles — verified bit-equal), bucket = count of thresholds below
+    ps = ", ".join(str(i / 10) for i in range(1, 10))
+    return (
+        head + ", " + ", ".join(steps)
+        + f", rr AS (SELECT id, round(rank, 8) AS rank8 FROM r{iters}), "
+        f"qs AS (SELECT quantile_cont(rank8, [{ps}]) AS q FROM rr) "
+        "SELECT id, rank8, cast(len(list_filter((SELECT q FROM qs), t -> rank8 > t)) AS int) AS priority FROM rr"
+    )
 
 
 @_q("q62_pagerank", _pagerank_oracle_sql())
@@ -1798,7 +1807,15 @@ def q62(spark, sf):
         F.concat(F.lit("h"), (F.col("event_id") % 37).cast("string")).alias("dst_host"),
     )
     ranks = pagerank(host_link_graph(links), fixed_iters=_PR_ITERS)
-    return ranks.select("id", F.round("rank", 8).alias("rank8"))
+    # frontier priority tiers over the rounded ranks via the exact-
+    # quantile variant of rank_priorities (graph.py) — the twin's
+    # quantile_cont thresholds are bit-equal on the same doubles
+    from gocrawler_spark.operators.graph import rank_priorities
+
+    r8 = ranks.select("id", F.round("rank", 8).alias("rank"))
+    return rank_priorities(r8, levels=10, exact=True).select(
+        "id", F.col("rank").alias("rank8"), "priority"
+    )
 
 
 _GOPHER_STOPS_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"

@@ -163,7 +163,9 @@ def pagerank(
     raise RuntimeError(f"pagerank did not converge in {max_iters} iterations")
 
 
-def rank_priorities(ranks: DataFrame, levels: int = 10) -> DataFrame:
+def rank_priorities(
+    ranks: DataFrame, levels: int = 10, exact: bool = False
+) -> DataFrame:
     """Discretize PageRank scores into integer frontier priorities
     0..levels-1 (higher = more important), joinable onto frontier rows
     by host — the global analogue of the reference's static product-URL
@@ -171,13 +173,27 @@ def rank_priorities(ranks: DataFrame, levels: int = 10) -> DataFrame:
 
     A global percent_rank/ntile window would funnel every vertex through
     one partition; instead the level boundaries come from one
-    approxQuantile pass (driver gets `levels-1` doubles) and each row
+    quantile pass (driver gets `levels-1` doubles) and each row
     buckets itself against the broadcast thresholds with an array
     comparison — one scan, no global shuffle, scale-indifferent.
+
+    ``exact=False`` (default) uses approxQuantile (Greenwald-Khanna,
+    single streaming pass, bounded memory — the 10^9-host default);
+    ``exact=True`` uses the exact ``percentile`` aggregate (linear
+    interpolation, same definition as SQL quantile_cont), which buffers
+    per-partition values and is for audit-grade tiering at dim-table
+    scale. Same output contract either way.
     """
     if levels < 2:
         raise ValueError("levels must be >= 2")
-    qs = ranks.approxQuantile("rank", [i / levels for i in range(1, levels)], 1e-4)
+    ps = [i / levels for i in range(1, levels)]
+    if exact:
+        row = ranks.agg(
+            F.percentile("rank", F.array(*[F.lit(p) for p in ps]))
+        ).first()
+        qs = list(row[0]) if row and row[0] is not None else []
+    else:
+        qs = ranks.approxQuantile("rank", ps, 1e-4)
     thresholds = F.array(*[F.lit(float(q)) for q in qs])
     return ranks.withColumn(
         "priority",

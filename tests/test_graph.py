@@ -139,6 +139,21 @@ def test_rank_priorities_monotone(spark):
     assert len(set(prios)) == 10
     with _pt.raises(ValueError):
         rank_priorities(ranks, levels=1)
+    # exact variant: same contract, and on this uniform grid the exact
+    # thresholds match numpy's linear-interpolation percentiles, so the
+    # bucketing equals a reference computed outside Spark entirely
+    import numpy as np
+
+    vals = np.array([(i + 1) / 100.0 for i in range(100)])
+    th = np.percentile(vals, [10 * i for i in range(1, 10)], method="linear")
+    want = {f"h{i}": int((vals[i] > th).sum()) for i in range(100)}
+    got_exact = {
+        r["id"]: r["priority"]
+        for r in rank_priorities(ranks, levels=10, exact=True).collect()
+    }
+    assert got_exact == want
+    # approx path agrees on well-separated data
+    assert {r["id"]: r["priority"] for r in got} == want
 
 
 def test_anchor_text_topk_matches_reference(spark):
