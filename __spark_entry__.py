@@ -1893,7 +1893,7 @@ def q64(spark, sf):
     # regex constant; the surt column (CDX index key: reversed host
     # labels, www-stripped, IP literals verbatim) is twinned via DuckDB
     # list_reverse over the same canon pieces
-    from gocrawler_spark.functions.urlnorm import canonical_url, surt
+    from gocrawler_spark.functions.urlnorm import canonical_url, surt_from_canon
 
     e = _t(spark, sf, "events")
     mod = (F.col("event_id") % 6).cast("int")
@@ -1907,8 +1907,12 @@ def q64(spark, sf):
         .when(mod == 4, F.concat(F.lit("relative/path/"), F.col("event_id").cast("string")))
         .otherwise(F.concat(F.lit("https://[2001:DB8::"), uid(9), F.lit("]:443/x?q="), eid(5), F.lit("&q="), eid(3)))
     )
-    return e.select(url.alias("url")).select(
-        "url", canonical_url("url").alias("canon"), surt("url").alias("surt")
+    # staged: canon projected once, surt derived from it (the hot-path
+    # two-projection form — see urlnorm.surt's doc)
+    return (
+        e.select(url.alias("url"))
+        .select("url", canonical_url("url").alias("canon"))
+        .select("url", "canon", surt_from_canon("canon").alias("surt"))
     )
 
 

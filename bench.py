@@ -404,6 +404,52 @@ def bench_semdedup(spark):
     }
 
 
+def bench_cdx_index(spark):
+    """CDX index build over the synthetic frontier: SURT keying (JVM
+    expression tree) + repartitionByRange global sort into CPUS gzip
+    shards + cluster.idx, then one shard-pruned domain lookup. The
+    range shuffle IS the workload — it's what a 3×10^9-record crawl
+    index costs beyond the WARC write itself."""
+    import shutil
+    import tempfile
+
+    from gocrawler_spark.sources.cdx import cdx_lookup, write_cdx
+
+    n = max(N_FRONTIER // 4, 10_000)
+    rows = (
+        synthetic_frontier(spark, n, 200)
+        .select(
+            "url",
+            F.lit("2021-06-01T00:00:00Z").alias("wdate"),
+            F.lit(200).alias("status"),
+            F.lit("text/html").alias("mime"),
+            F.concat(F.lit("sha1:"), F.upper(F.md5("url"))).alias("digest"),
+            F.format_string(
+                "part-%05d.warc.gz", F.pmod(F.xxhash64("url"), 100).cast("int")
+            ).alias("filename"),
+            F.pmod(F.xxhash64("url", F.lit(7)), 1 << 30).alias("offset"),
+            (F.pmod(F.xxhash64("url", F.lit(8)), 100_000) + 500).alias("length"),
+        )
+        .cache()
+    )
+    n_rows = rows.count()
+    out_dir = tempfile.mkdtemp(prefix="gocrawler_bench_cdx_")
+    t0 = time.time()
+    manifest = write_cdx(rows, out_dir, n_shards=CPUS)
+    n_idx = sum(m["n_records"] for m in manifest)
+    hits = cdx_lookup(spark, out_dir, "example,shop000)").count()
+    dt = time.time() - t0
+    rows.unpersist()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return dt, {
+        "records": n_rows,
+        "indexed": n_idx,
+        "shards": len(manifest),
+        "lookup_hits": hits,
+        "records_per_sec": round(n_idx / dt, 1),
+    }
+
+
 def main():
     spark = get_spark(cpus=CPUS, app_name="gocrawler-bench",
                       shuffle_partitions=max(CPUS * 2, 16))
@@ -417,6 +463,7 @@ def main():
         "recrawl": bench_recrawl,
         "quality_dsir": bench_quality_dsir,
         "semdedup": bench_semdedup,
+        "cdx_index": bench_cdx_index,
     }
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     times, extras = {}, {}

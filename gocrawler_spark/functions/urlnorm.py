@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["canonical_url", "surt", "TRACKING_KEY_RE"]
+__all__ = ["canonical_url", "surt", "surt_from_canon", "TRACKING_KEY_RE"]
 
 TRACKING_KEY_RE = r"(?i)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)$"
 
@@ -109,10 +109,25 @@ def surt(url, tracking_key_re: str = TRACKING_KEY_RE) -> Column:
     port rides after the host as ``:port``; then ``)`` + path + query.
     NULL in (relative / hostless) -> NULL out, same as canonical_url.
 
-    Pure JVM expression tree (split/reverse/array_join) — codegen-
-    friendly, no UDF, safe in a 10^11-row frontier projection.
+    Convenience one-shot form. In hot paths PROJECT THE CANONICAL URL
+    FIRST and call :func:`surt_from_canon` on the resulting column:
+    this Column references its canon subexpression ~6 times, and Column
+    composition splices the whole canonical_url tree into each
+    reference — measured 8x slower than the two-projection form (33.2s
+    vs 4.1s / 500k urls on local[32]; CollapseProject deliberately
+    keeps the boundary because the duplicated subtree is non-cheap).
     """
-    canon = canonical_url(url, tracking_key_re)
+    return surt_from_canon(canonical_url(url, tracking_key_re))
+
+
+def surt_from_canon(canon) -> Column:
+    """SURT key from an ALREADY-CANONICALIZED url column (the output of
+    :func:`canonical_url`: lowercased, default-port/fragment/userinfo-
+    stripped, path always starting '/'). Pure JVM expression tree
+    (split/reverse/array_join) — codegen-friendly, no UDF, safe in a
+    10^11-row frontier projection. See :func:`surt` for semantics.
+    """
+    canon = F.col(canon) if isinstance(canon, str) else canon
     after = canon.substr(F.instr(canon, "://") + F.lit(3), F.lit(_BIG))
     # canonical form always has a path starting '/', so the authority is
     # everything before the first '/'

@@ -53,7 +53,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from gocrawler_spark.functions.urlnorm import surt
+from gocrawler_spark.functions.urlnorm import canonical_url, surt_from_canon
 
 __all__ = [
     "CDX_JSON_SCHEMA",
@@ -87,8 +87,14 @@ def cdx_lines(records: DataFrame) -> DataFrame:
     deterministic, so identical input gives byte-identical lines).
 
     Records whose url cannot be canonicalized (no scheme/host) get a
-    NULL urlkey and are dropped — a CDX line without a sortable key is
-    unreachable by lookup anyway.
+    NULL urlkey (and NULL line) — a CDX line without a sortable key is
+    unreachable by lookup, and :func:`write_cdx` skips such rows at
+    write time. The skip deliberately does NOT happen here as a
+    ``where(urlkey IS NOT NULL)``: predicate pushdown substitutes the
+    filter below the projections, re-inlining the whole
+    surt(canonical_url(...)) tree into the filter — measured 8-14x
+    slower than the projection chain it guards (57.8s vs 4.1s / 1M
+    rows for the filter alone on local[32]).
     """
     ts = F.date_format(
         F.to_timestamp(F.col("wdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), _TS_FMT
@@ -107,13 +113,20 @@ def cdx_lines(records: DataFrame) -> DataFrame:
             F.element_at(F.split(F.col("filename"), "/"), -1).alias("filename"),
         )
     )
+    # three projections on purpose: canon -> urlkey -> line. Each stage
+    # references the previous stage's column several times, and keeping
+    # the boundaries stops Column composition from splicing the heavy
+    # canonical_url subtree into every reference (measured 8x on the
+    # surt step — see functions/urlnorm.surt)
     return (
         records.select(
-            surt("url").alias("urlkey"),
+            canonical_url("url").alias("_canon"),
             ts.alias("ts"),
             j.alias("json"),
         )
-        .where(F.col("urlkey").isNotNull())
+        .select(
+            surt_from_canon("_canon").alias("urlkey"), "ts", "json"
+        )
         .select(
             "urlkey",
             "ts",
@@ -162,6 +175,8 @@ def write_cdx(
         with opener(path) as fh:
             for pdf in batches:
                 for urlkey, line in zip(pdf["urlkey"], pdf["line"]):
+                    if urlkey is None:  # unkeyable url — see cdx_lines
+                        continue
                     fh.write(line.encode("utf-8") + b"\n")
                     if first_key is None:
                         first_key = urlkey

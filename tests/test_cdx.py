@@ -134,3 +134,23 @@ def test_warc_index_rows_match_manifest(spark, tmp_path):
             assert off == pos
             pos += ln
         assert pos == len(b2)
+
+
+def test_cdx_skips_unkeyable_urls(spark, tmp_path):
+    """A record whose url has no scheme/host gets no SURT key and is
+    skipped at write time (not silently mis-sorted under a NULL key)."""
+    from pyspark.sql import functions as F
+
+    recs = spark.createDataFrame(
+        [("https://ok.example/a", "2021-06-01T00:00:00Z", 200, "text/html",
+          "sha1:X", "part-00000.warc.gz", 0, 100),
+         ("relative/no-host", "2021-06-01T00:00:00Z", 200, "text/html",
+          "sha1:Y", "part-00000.warc.gz", 100, 100)],
+        "url string, wdate string, status int, mime string, digest string,"
+        " filename string, offset long, length long",
+    )
+    d = tmp_path / "idx"
+    manifest = write_cdx(recs, str(d), n_shards=1)
+    assert sum(m["n_records"] for m in manifest) == 1
+    got = read_cdx(spark, os.path.join(str(d), "cdx-*")).collect()
+    assert [r["url"] for r in got] == ["https://ok.example/a"]
