@@ -132,6 +132,15 @@ class CrawlConfig:
     # reference dedups on the RAW url string (scraper.go:112) and the
     # byte-parity suite pins that
     canonicalize_urls: bool = False
+    # opt-in web-archive output: every round's fetched pages written as
+    # Common-Crawl-shaped WARC segments (sources/warc.write_warc,
+    # per-record index rows kept), and run() finalizes a SURT-keyed CDX
+    # index (sources/cdx.write_cdx) over all rounds. Costs one extra
+    # (column-pruned: url/html/warc_ts) pages-scan join + one commit
+    # action per round; default off. Operational output, not a snapshot
+    # table: a resumed run re-archives its replayed rounds.
+    archive_dir: str | None = None
+    archive_cdx_shards: int = 8
 
 
 class CrawlJob:
@@ -402,10 +411,11 @@ class CrawlJob:
         # DEADLOCK INVARIANT: the items/quarantine lambdas BLOCK their
         # worker on stats_fut.result(), so (a) stats must be submitted
         # before them and (b) max_workers must be >= the total number of
-        # submitted tasks (7 today: n_new, stats, 5 commits) so every
-        # task gets a worker up front and the blocked dependents can
-        # never starve stats out of a slot. Adding a task? Bump N_COMMIT_TASKS.
-        N_COMMIT_TASKS = 7
+        # submitted tasks (7 today: n_new, stats, 5 commits; +1 with
+        # archive_dir) so every task gets a worker up front and the
+        # blocked dependents can never starve stats out of a slot.
+        # Adding a task? Bump N_COMMIT_TASKS.
+        N_COMMIT_TASKS = 7 + (1 if cfg.archive_dir else 0)
         with ThreadPoolExecutor(max_workers=N_COMMIT_TASKS,
                                 thread_name_prefix="commit") as ex:
             # the new-candidate count rides the pool too (NB: tried
@@ -446,8 +456,22 @@ class CrawlJob:
                 ex.submit(lambda: self._commit_quarantine(
                     rnd, extracted, stats_fut.result()["n_captcha"])),
             ]
+            if cfg.archive_dir:
+                # one more pages-scan join (pruned to url/html/warc_ts;
+                # same broadcast gate) — the fetched bytes themselves,
+                # which extract() never keeps
+                arch_cols = ["url", "html"] + (
+                    ["warc_ts"] if "warc_ts" in pages.columns else []
+                )
+                aset = fetch_set.select("url")
+                afound = pages.select(*arch_cols).join(
+                    F.broadcast(aset) if n_fetch <= cfg.broadcast_fetch_max
+                    else aset,
+                    "url", "inner",
+                )
+                futs.append(ex.submit(self._commit_archive, rnd, afound))
             # .result() re-raises any commit failure before checkpoint
-            _, _, n_items, _, _ = [f.result() for f in futs]
+            n_items = [f.result() for f in futs][2]
             stats = stats_fut.result()
             n_new = n_new_fut.result()
         n_err = n_fetch - stats["n_ok_urls"]
@@ -476,6 +500,46 @@ class CrawlJob:
         self._round_caches.clear()
 
     # ------------------------------------------------------------ sub-commits
+    def _commit_archive(self, rnd: int, found: DataFrame) -> None:
+        """Archive the round's fetched pages as WARC segments and append
+        their per-record (filename, offset, length, digest) index rows —
+        run() folds all rounds' rows into one CDX index at the end. One
+        Spark action (the parquet append executes the segment writes)."""
+        import os as _os
+
+        from ..sources.warc import write_warc
+
+        seg_dir = _os.path.join(
+            self.cfg.archive_dir, "segments", f"round-{rnd:05d}"
+        )
+        _os.makedirs(seg_dir, exist_ok=True)
+        idx = write_warc(
+            found, seg_dir, per_record_index=True, prefix=f"r{rnd:05d}"
+        )
+        idx.write.mode("append").parquet(
+            _os.path.join(self.cfg.archive_dir, "_index_rows")
+        )
+
+    def finalize_archive(self) -> list[dict]:
+        """SURT-keyed, range-sorted CDX index + cluster.idx over every
+        archived round's records (sources/cdx.write_cdx). Idempotent:
+        the cdx dir is rebuilt from _index_rows each call."""
+        import os as _os
+        import shutil as _shutil
+
+        from ..sources.cdx import write_cdx
+
+        cdx_dir = _os.path.join(self.cfg.archive_dir, "cdx")
+        _shutil.rmtree(cdx_dir, ignore_errors=True)
+        records = self.spark.read.parquet(
+            _os.path.join(self.cfg.archive_dir, "_index_rows")
+        )
+        # a resumed run re-archives its replayed rounds: same segment
+        # files rewritten byte-identical, index rows appended twice —
+        # (filename, offset) names a unique record, so dedup here
+        records = records.dropDuplicates(["filename", "offset"])
+        return write_cdx(records, cdx_dir, n_shards=self.cfg.archive_cdx_shards)
+
     def _commit_items(self, extracted: DataFrame, n: int) -> int:
         """``n`` is the distinct-item-id count from run_round's single
         stats aggregation (== the post-window batch size, since the
@@ -611,6 +675,8 @@ class CrawlJob:
                 break
             history.append(m)
             rnd += 1
+        if self.cfg.archive_dir and any(m["fetched"] for m in history):
+            self.finalize_archive()
         return history
 
     def resume(self, pages: DataFrame, robots_df: DataFrame) -> list[dict]:
