@@ -207,7 +207,10 @@ def sitemap_candidates(sitemap_pages: DataFrame, url_col: str = "url",
     ``<sitemapindex>`` entries surface as rows too (their urls point at
     more sitemaps — the caller's fetch loop re-reads those). This is
     the feed ``streaming.microbatch.start_frontier_ingest`` documents:
-    robots_sitemaps -> fetch -> sitemap_candidates -> ingest.
+    robots_sitemaps -> fetch -> sitemap_candidates -> ingest. For the
+    STRUCTURED view of the same documents (urlset-vs-sitemapindex kind,
+    lastmod for recrawl scheduling, per-host rows) use
+    ``operators.sitemap.parse_sitemap_pages``.
 
     The sitemaps.org protocol REQUIRES urls to be XML-entity-escaped
     (``&`` query separators arrive as ``&amp;``) and allows CDATA

@@ -29,6 +29,13 @@ A 50k-URL sitemap (the spec's max) explodes to 50k rows from one page
 row — fine: explode is generated columnar-side, and the downstream
 admission/seen pipeline is exactly the one crawl candidates already
 take.
+
+Relation to ``robots_parse.sitemap_candidates``: that one is the FLAT
+streaming feed (url+depth only, loc-regex single pass — the minimal
+shape ``start_frontier_ingest`` consumes); this one is the structured
+parser (entry kind, lastmod, per-host rows) for recrawl scheduling and
+index-vs-frontier bookkeeping. Same grammar, same entity/CDATA
+handling, different output contracts.
 """
 
 from __future__ import annotations
@@ -93,6 +100,10 @@ def parse_sitemap_pages(
         ),
     )
     loc = F.regexp_extract("block", _LOC_RE, 1)
+    # unwrap CDATA (the protocol allows it; escapes don't apply inside)
+    loc = F.regexp_replace(
+        F.regexp_replace(loc, r"^<!\[CDATA\[\s*", ""), r"\s*\]\]>$", ""
+    )
     return (
         blocks.select(
             "host",

@@ -19,6 +19,7 @@ URLSET = """<?xml version="1.0" encoding="UTF-8"?>
   <url><loc>https://a.example/nomod</loc></url>
   <url><lastmod>2021-01-01</lastmod></url>
   <url><loc>https://a.example/bad</loc><lastmod>not-a-date</lastmod></url>
+  <url><loc><![CDATA[ https://a.example/cdata?x=1&y=2 ]]></loc></url>
 </urlset>"""
 
 INDEX = """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
@@ -40,7 +41,7 @@ def _ref_entries(url, xml_text):
         for ch in el:
             sub = ch.tag.rsplit("}", 1)[-1]
             if sub == "loc":
-                loc = (ch.text or "").strip()
+                loc = (ch.text or "").strip()  # ET folds CDATA into text
             elif sub == "lastmod":
                 lastmod = (ch.text or "").strip()
         if not loc:
@@ -71,9 +72,11 @@ def test_parse_sitemap_matches_etree_reference(spark):
     )
     want = sorted(e for u, x in pages for e in _ref_entries(u, x))
     assert got == want
-    assert len(got) == 8  # 6 urlset entries with loc + 2 index entries
+    assert len(got) == 9  # 7 urlset entries with loc + 2 index entries
     # entity unescape really happened
     assert any(loc == "https://a.example/p?x=1&y=2<3" for *_x, loc, _m in got)
+    # CDATA unwrapped + trimmed
+    assert any(loc == "https://a.example/cdata?x=1&y=2" for *_x, loc, _m in got)
     # whole parse stays JVM-side
     plan = (
         parse_sitemap_pages(df)
