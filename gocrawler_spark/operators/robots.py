@@ -91,6 +91,12 @@ class CompiledRobots:
 
     max_rules: int | None
     single_rule_rows: tuple | None  # ((host, rule, path_prefix), ...)
+    # None = unknown (keep the wildcard-capable verdict); False = probed
+    # wildcard-free, so every plan drops back to the pure-startswith
+    # expression shape — real robots tables are overwhelmingly plain
+    # prefixes and the per-row when(x IS NULL, ...) dispatch + 3-field
+    # structs measurably tax the hot scheduling path
+    has_wild: bool | None = None
 
 
 # map-literal gate: past this host count the inlined CASE/map expression
@@ -110,7 +116,17 @@ def compile_robots(robots: DataFrame,
         head = robots.select("host", "rule", "path_prefix").limit(map_max_hosts + 1).collect()
         if len(head) <= map_max_hosts:
             rows = tuple((r["host"], r["rule"], r["path_prefix"]) for r in head)
-    return CompiledRobots(mr, rows)
+    if rows is not None:
+        hw = any("*" in p or p.endswith("$") for _h, _r, p in rows)
+    else:
+        # one more metadata-scale scalar: lets every plan skip the
+        # wildcard dispatch when the table is plain prefixes
+        hw = bool(
+            robots.agg(
+                F.max(_is_wild(F.col("path_prefix")).cast("int"))
+            ).first()[0]
+        )
+    return CompiledRobots(mr, rows, hw)
 
 
 def robots_filter(
@@ -139,6 +155,10 @@ def robots_filter(
     if compiled is None:
         compiled = compile_robots(robots)
     max_rules = compiled.max_rules
+    # probed wildcard-free (the overwhelmingly common real-world shape):
+    # every plan keeps the pre-wildcard pure-startswith expression — no
+    # per-row null-dispatch, 2-field structs, smaller literals
+    plain = compiled.has_wild is False
     if compiled.single_rule_rows is not None:
         if not compiled.single_rule_rows:
             return candidates  # no rules at all -> everything allowed
@@ -149,54 +169,61 @@ def robots_filter(
                 if ("*" in prefix or prefix.endswith("$"))
                 else None
             )
-            entries += [
-                F.lit(host),
-                F.struct(
-                    F.lit(rule).alias("r"),
-                    F.lit(prefix).alias("p"),
-                    F.lit(rx).cast("string").alias("x"),
-                ),
-            ]
+            fields = [F.lit(rule).alias("r"), F.lit(prefix).alias("p")]
+            if not plain:
+                fields.append(F.lit(rx).cast("string").alias("x"))
+            entries += [F.lit(host), F.struct(*fields)]
         e = F.create_map(*entries)[F.col(host_col)]
-        verdict = (
-            e.isNull()
-            | (e["r"] == "allow")
-            | ~_rule_matches(F.col(path_col), e["p"], e["x"])
+        match = (
+            F.col(path_col).startswith(e["p"])
+            if plain
+            else _rule_matches(F.col(path_col), e["p"], e["x"])
         )
+        verdict = e.isNull() | (e["r"] == "allow") | ~match
         return candidates.filter(verdict)
     if max_rules is not None and max_rules <= 1:
-        rules1 = robots.select(
+        sel = [
             F.col("host").alias("_r_host"),
             F.col("rule").alias("_r_rule"),
             F.col("path_prefix").alias("_r_prefix"),
-            F.when(
-                _is_wild(F.col("path_prefix")),
-                _wild_regex_col(F.col("path_prefix")),
-            ).alias("_r_rx"),
-        )
+        ]
+        if not plain:
+            sel.append(
+                F.when(
+                    _is_wild(F.col("path_prefix")),
+                    _wild_regex_col(F.col("path_prefix")),
+                ).alias("_r_rx")
+            )
+        rules1 = robots.select(*sel)
         joined = candidates.join(
             F.broadcast(rules1), F.col(host_col) == F.col("_r_host"), "left"
+        )
+        match = (
+            F.col(path_col).startswith(F.col("_r_prefix"))
+            if plain
+            else _rule_matches(F.col(path_col), F.col("_r_prefix"), F.col("_r_rx"))
         )
         verdict = (
             F.col("_r_rule").isNull()
             | (F.col("_r_rule") == "allow")
-            | ~_rule_matches(F.col(path_col), F.col("_r_prefix"), F.col("_r_rx"))
+            | ~match
         )
-        return joined.filter(verdict).drop(
-            "_r_host", "_r_rule", "_r_prefix", "_r_rx"
-        )
+        out = joined.filter(verdict).drop("_r_host", "_r_rule", "_r_prefix")
+        return out if plain else out.drop("_r_rx")
 
+    rule_fields = [
+        F.col("path_prefix").alias("p"),
+        (F.col("rule") == "allow").alias("a"),
+    ]
+    if not plain:
+        rule_fields.append(
+            F.when(
+                _is_wild(F.col("path_prefix")),
+                _wild_regex_col(F.col("path_prefix")),
+            ).alias("x")
+        )
     rules_by_host = robots.groupBy(F.col("host").alias("_r_host")).agg(
-        F.collect_list(
-            F.struct(
-                F.col("path_prefix").alias("p"),
-                (F.col("rule") == "allow").alias("a"),
-                F.when(
-                    _is_wild(F.col("path_prefix")),
-                    _wild_regex_col(F.col("path_prefix")),
-                ).alias("x"),
-            )
-        ).alias("_rules")
+        F.collect_list(F.struct(*rule_fields)).alias("_rules")
     )
     joined = candidates.join(
         F.broadcast(rules_by_host), F.col(host_col) == F.col("_r_host"), "left"
@@ -204,14 +231,20 @@ def robots_filter(
     # fold: track (best_len, allow); longer pattern wins (Google REP
     # specificity — raw pattern length, wildcards included), equal
     # length -> allow wins; no matching rule -> allowed
+    empty_t = (
+        "array<struct<p:string,a:boolean>>"
+        if plain
+        else "array<struct<p:string,a:boolean,x:string>>"
+    )
     verdict = F.aggregate(
-        F.coalesce(
-            F.col("_rules"),
-            F.array().cast("array<struct<p:string,a:boolean,x:string>>"),
-        ),
+        F.coalesce(F.col("_rules"), F.array().cast(empty_t)),
         F.struct(F.lit(-1).alias("len"), F.lit(True).alias("allow")),
         lambda acc, r: F.when(
-            _rule_matches(F.col(path_col), r["p"], r["x"])
+            (
+                F.col(path_col).startswith(r["p"])
+                if plain
+                else _rule_matches(F.col(path_col), r["p"], r["x"])
+            )
             & (
                 (F.length(r["p"]) > acc["len"])
                 | ((F.length(r["p"]) == acc["len"]) & r["a"] & ~acc["allow"])
