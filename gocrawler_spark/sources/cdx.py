@@ -61,6 +61,7 @@ __all__ = [
     "write_cdx",
     "read_cdx",
     "cdx_lookup",
+    "cdx_get",
     "fetch_warc_record",
 ]
 
@@ -261,6 +262,25 @@ def cdx_lookup(
     return read_cdx(spark, shards).where(
         F.col("urlkey").startswith(key_prefix)
     )
+
+
+def cdx_get(spark: SparkSession, out_dir: str, url: str) -> DataFrame:
+    """All captures of ONE url — the wayback point query. The url is
+    keyed through the SAME Spark expression the index was written with
+    (a one-row DataFrame; a parallel Python SURT implementation would
+    be a divergence bug waiting to happen), then answered as an
+    exact-key :func:`cdx_lookup`. Returns every capture (one per
+    timestamp), the read cost of one pruned shard.
+    """
+    row = (
+        spark.createDataFrame([(url,)], "url string")
+        .select(surt_from_canon(canonical_url("url")).alias("k"))
+        .first()
+    )
+    if row is None or row["k"] is None:
+        raise ValueError(f"url has no SURT key (no scheme/host?): {url!r}")
+    key = row["k"]
+    return cdx_lookup(spark, out_dir, key).where(F.col("urlkey") == key)
 
 
 def fetch_warc_record(

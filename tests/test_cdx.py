@@ -8,6 +8,7 @@ import os
 
 from gocrawler_spark.sources.cdx import (
     _shards_for_prefix,
+    cdx_get,
     cdx_lookup,
     fetch_warc_record,
     read_cdx,
@@ -154,3 +155,24 @@ def test_cdx_skips_unkeyable_urls(spark, tmp_path):
     assert sum(m["n_records"] for m in manifest) == 1
     got = read_cdx(spark, os.path.join(str(d), "cdx-*")).collect()
     assert [r["url"] for r in got] == ["https://ok.example/a"]
+
+
+def test_cdx_get_point_query(spark, tmp_path):
+    """Exact-URL point lookup: every capture of one url, nothing else,
+    keyed through the same Spark SURT expression as the written index
+    (alias spellings of the url resolve to the same key)."""
+    import pytest as _pt
+
+    rows, _warc_dir, idx_dir, _m = _write_all(spark, tmp_path)
+    target = rows[7][0]  # 'https://www.site07.example/page/7?b=2&a=1'
+    got = cdx_get(spark, idx_dir, target).collect()
+    assert [r["url"] for r in got] == [target]
+    # canonical aliasing: different spelling, same capture
+    alias = target.replace("https://www.", "HTTPS://WWW.").replace(
+        "?b=2&a=1", "?a=1&b=2&utm_source=x#frag"
+    )
+    assert [r["url"] for r in cdx_get(spark, idx_dir, alias).collect()] == [target]
+    # no captures -> empty, not an error
+    assert cdx_get(spark, idx_dir, "https://site07.example/other").count() == 0
+    with _pt.raises(ValueError):
+        cdx_get(spark, idx_dir, "relative/no-host")
