@@ -598,9 +598,26 @@ _HITS = {k: f"len(list_filter(l, x -> x IN {v}))" for k, v in _SW.items()}
     f"round(CASE WHEN len(l) > 0 THEN h_en * 1.0 / len(l) ELSE 0.0 END, 6) AS sw_ratio, "
     "md5(array_to_string(l, ' ')) AS fp, "
     "CASE WHEN len(l) >= 5 THEN list_aggregate(list_transform(range(1, len(l)-3), i -> md5(array_to_string(l[i:i+4], ' '))), 'min') "
-    " ELSE md5(array_to_string(l, ' ')) END AS shingle_fp "
+    " ELSE md5(array_to_string(l, ' ')) END AS shingle_fp, "
+    # script profile: RE2 script classes (verified char-identical to
+    # Java's \p{IsX} used Spark-side); ties latin > cjk > cyr > arabic
+    "cast(s_n AS int) AS n_letters, "
+    "round(CASE WHEN s_n > 0 THEN s_lat * 1.0 / s_n ELSE 0.0 END, 6) AS latin_frac6, "
+    "round(CASE WHEN s_n > 0 THEN s_cjk * 1.0 / s_n ELSE 0.0 END, 6) AS cjk_frac6, "
+    "round(CASE WHEN s_n > 0 THEN s_cyr * 1.0 / s_n ELSE 0.0 END, 6) AS cyrillic_frac6, "
+    "round(CASE WHEN s_n > 0 THEN s_ar * 1.0 / s_n ELSE 0.0 END, 6) AS arabic_frac6, "
+    "CASE WHEN s_n = 0 THEN 'und' "
+    " WHEN s_lat >= s_cjk AND s_lat >= s_cyr AND s_lat >= s_ar AND s_lat > 0 THEN 'latin' "
+    " WHEN s_cjk >= s_cyr AND s_cjk >= s_ar AND s_cjk > 0 THEN 'cjk' "
+    " WHEN s_cyr >= s_ar AND s_cyr > 0 THEN 'cyrillic' "
+    " WHEN s_ar > 0 THEN 'arabic' ELSE 'other' END AS script "
     f"FROM (SELECT doc_id, text, l, {_HITS['de']} AS h_de, {_HITS['en']} AS h_en, "
-    f"{_HITS['es']} AS h_es, {_HITS['fr']} AS h_fr "
+    f"{_HITS['es']} AS h_es, {_HITS['fr']} AS h_fr, "
+    "length(regexp_replace(text, '\\P{L}', '', 'g')) AS s_n, "
+    "length(regexp_replace(text, '[^\\p{Latin}]', '', 'g')) AS s_lat, "
+    "length(regexp_replace(text, '[^\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}]', '', 'g')) AS s_cjk, "
+    "length(regexp_replace(text, '[^\\p{Cyrillic}]', '', 'g')) AS s_cyr, "
+    "length(regexp_replace(text, '[^\\p{Arabic}]', '', 'g')) AS s_ar "
     f"FROM (SELECT doc_id, text, {_TOKENIZE_SQL} AS l FROM documents))",
 )
 def q28(spark, sf):
@@ -619,6 +636,8 @@ def q28(spark, sf):
         token_count,
     )
 
+    from gocrawler_spark.functions.text import script_profile
+
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
@@ -630,7 +649,8 @@ def q28(spark, sf):
         stopword_ratio(F.col("text"), "en").alias("sw_ratio"),
         fingerprint(F.col("text")).alias("fp"),
         shingle_fingerprint(F.col("text"), 5).alias("shingle_fp"),
-    )
+        script_profile(F.col("text")).alias("sp"),
+    ).select("*", "sp.*").drop("sp")
 
 
 def _entity_oracle_sql() -> str:

@@ -401,3 +401,52 @@ def top_ngram_fraction(docs, n: int = 2, text_col: str = "text",
         id_col, F.lit(0.0).alias("top_ngram_frac")
     )
     return out.unionByName(short)
+
+
+def script_profile(col) -> Column:
+    """Writing-system profile: struct(n_letters, latin_frac6, cjk_frac6,
+    cyrillic_frac6, arabic_frac6, script).
+
+    Script routing is a standard early stage of a multilingual corpus
+    pipeline (tokenizers, quality thresholds and stopword tables are
+    script-specific; mixed-script text is a spam signal). Fractions are
+    over LETTER characters only (``\\p{L}``), rounded to 6dp; ``cjk``
+    unions Han + Hiragana + Katakana + Hangul. ``script`` is the
+    dominant class — ties resolve in the fixed order latin > cjk >
+    cyrillic > arabic; letters outside all four classes -> 'other';
+    no letters at all -> 'und'.
+
+    Pure JVM regexp_replace length-counting (Java Unicode script
+    classes; verified to agree with RE2's \\p{Latin}-family classes
+    char-for-char, so a DuckDB twin is exact).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    n = F.length(F.regexp_replace(col, r"\P{L}", ""))
+    lat = F.length(F.regexp_replace(col, r"[^\p{IsLatin}]", ""))
+    cjk = F.length(
+        F.regexp_replace(
+            col, r"[^\p{IsHan}\p{IsHiragana}\p{IsKatakana}\p{IsHangul}]", ""
+        )
+    )
+    cyr = F.length(F.regexp_replace(col, r"[^\p{IsCyrillic}]", ""))
+    ar = F.length(F.regexp_replace(col, r"[^\p{IsArabic}]", ""))
+
+    def frac(c):
+        return F.round(F.when(n > 0, c / n).otherwise(F.lit(0.0)), 6)
+
+    script = (
+        F.when(n == 0, F.lit("und"))
+        .when((lat >= cjk) & (lat >= cyr) & (lat >= ar) & (lat > 0), F.lit("latin"))
+        .when((cjk >= cyr) & (cjk >= ar) & (cjk > 0), F.lit("cjk"))
+        .when((cyr >= ar) & (cyr > 0), F.lit("cyrillic"))
+        .when(ar > 0, F.lit("arabic"))
+        .otherwise(F.lit("other"))
+    )
+    return F.struct(
+        n.cast("int").alias("n_letters"),
+        frac(lat).alias("latin_frac6"),
+        frac(cjk).alias("cjk_frac6"),
+        frac(cyr).alias("cyrillic_frac6"),
+        frac(ar).alias("arabic_frac6"),
+        script.alias("script"),
+    )

@@ -59,3 +59,37 @@ def test_extracted_text_parity_documents_bridge(spark):
     joined = pdf.select("url", "text").join(extracted, "url", "inner")
     rows = joined.filter(F.col("spark_text") != F.col("text")).count()
     assert joined.count() == n and rows == 0
+
+
+def test_script_profile(spark):
+    """Writing-system routing: dominant script, letter-only fractions,
+    tie and no-letter edge cases, against hand-computed expectations."""
+    from gocrawler_spark.functions.text import script_profile
+
+    cases = [
+        # (text, dominant script, expected latin_frac6)
+        ("Hello world café", "latin", 1.0),       # Latin incl. accents
+        ("你好世界", "cjk", 0.0),                   # Han
+        ("ひらがな カタカナ 漢字", "cjk", 0.0),      # kana+han fold into cjk
+        ("한국어 텍스트", "cjk", 0.0),               # Hangul folds too
+        ("Привет мир", "cyrillic", 0.0),
+        ("مرحبا بالعالم", "arabic", 0.0),
+        ("你好 hello there", "latin", 10 / 12),     # mixed: latin majority
+        ("hi 你好", "latin", 0.5),                  # exact tie -> latin
+        ("123 !!!", "und", 0.0),                   # no letters
+        ("αβγ δέλτα", "other", 0.0),               # Greek: outside all four
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in cases], "t string")
+    got = {
+        r["t"]: r
+        for r in df.select("t", script_profile("t").alias("sp"))
+        .select("t", "sp.*").collect()
+    }
+    for t, script, lat in cases:
+        r = got[t]
+        assert r["script"] == script, (t, r["script"], script)
+        if lat is not None:
+            assert abs(r["latin_frac6"] - round(lat, 6)) < 1e-9, (t, r)
+    # fractions are over letters only
+    assert got["123 !!!"]["n_letters"] == 0
+    assert got["Hello world café"]["n_letters"] == 14
