@@ -1330,7 +1330,10 @@ _ROBOTS_BODY_SQL = (
     "CASE WHEN k%3=0 THEN 'Crawl-delay: 1.5' || chr(10) ELSE '' END || "
     "CASE WHEN k%2=0 THEN chr(10) || 'User-agent: gocrawler' || chr(10) || "
     " 'Disallow: /bot' || cast(k AS varchar) || chr(10) || 'Crawl-delay: 2' || chr(10) ELSE '' END || "
-    "CASE WHEN k%4=0 THEN chr(10) || 'User-agent: other' || chr(10) || 'Disallow: /' || chr(10) ELSE '' END"
+    "CASE WHEN k%4=0 THEN chr(10) || 'User-agent: other' || chr(10) || 'Disallow: /' || chr(10) ELSE '' END || "
+    # wildcard rules are opaque pattern STRINGS to the parser (the
+    # filter interprets them); they must pass through verbatim
+    "CASE WHEN k%5=0 THEN 'Disallow: /*.php' || cast(k AS varchar) || '$' || chr(10) ELSE '' END"
 )
 
 # sitemap bodies per k: k%3==0 renders a <sitemapindex> (one child with
@@ -1450,6 +1453,11 @@ def q53(spark, sf):
             ),
         ).otherwise(e),
         F.when(k % 4 == 0, F.lit("\nUser-agent: other\nDisallow: /\n")).otherwise(e),
+        # wildcard pattern strings pass through the parser verbatim
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit("Disallow: /*.php"), k.cast("string"), F.lit("$\n")),
+        ).otherwise(e),
     )
     pages = ks.select(
         F.format_string("https://host%03d.example/robots.txt", k).alias("url"),
