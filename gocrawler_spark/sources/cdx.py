@@ -62,6 +62,7 @@ __all__ = [
     "read_cdx",
     "cdx_lookup",
     "cdx_get",
+    "cdx_diff",
     "fetch_warc_record",
 ]
 
@@ -261,6 +262,59 @@ def cdx_lookup(
         return read_cdx(spark, os.path.join(out_dir, "cdx-*")).where(F.lit(False))
     return read_cdx(spark, shards).where(
         F.col("urlkey").startswith(key_prefix)
+    )
+
+
+def cdx_diff(spark: SparkSession, old_dir: str, new_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff of two CDX indexes: one row per
+    urlkey with status 'added' / 'removed' / 'changed' / 'unchanged'.
+    'changed' means the latest capture's payload DIGEST differs — the
+    content moved, so the url belongs in the next refetch set; 'added'/
+    'removed' drive frontier seeding and tombstoning. This is the
+    standard between-snapshots question (Common Crawl's own index pairs
+    answer it the same way: latest capture per key, digest compare).
+
+    Latest capture per side = one row_number window per urlkey (keys are
+    unique per capture set, partitions are capture-count tiny), then one
+    full outer join on urlkey — a single shuffle each side; both inputs
+    are already SURT-range-sorted on disk, so at archive scale the scan
+    streams in key order and AQE keeps the join balanced.
+    """
+    from pyspark.sql import Window
+
+    def latest(d):
+        df = read_cdx(spark, os.path.join(d, "cdx-*"))
+        w = Window.partitionBy("urlkey").orderBy(F.col("ts").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    o = latest(old_dir).select(
+        "urlkey",
+        F.col("url").alias("old_url"),
+        F.col("digest").alias("old_digest"),
+        F.col("ts").alias("old_ts"),
+    )
+    n = latest(new_dir).select(
+        "urlkey",
+        F.col("url").alias("new_url"),
+        F.col("digest").alias("new_digest"),
+        F.col("ts").alias("new_ts"),
+    )
+    j = o.join(n, "urlkey", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "urlkey",
+        F.coalesce("new_url", "old_url").alias("url"),
+        status.alias("status"),
+        "old_ts", "new_ts", "old_digest", "new_digest",
     )
 
 

@@ -176,3 +176,51 @@ def test_cdx_get_point_query(spark, tmp_path):
     assert cdx_get(spark, idx_dir, "https://site07.example/other").count() == 0
     with _pt.raises(ValueError):
         cdx_get(spark, idx_dir, "relative/no-host")
+
+
+def test_cdx_diff_between_snapshots(spark, tmp_path):
+    """Two crawl snapshots -> per-url added/removed/changed/unchanged by
+    payload digest of the LATEST capture on each side."""
+    from gocrawler_spark.sources.cdx import cdx_diff
+
+    def snap(name, docs):
+        rows = [
+            (f"https://diff.example/{k}",
+             f"2021-06-{ts:02d}T00:00:00Z",
+             body.encode(), 200, "text/html")
+            for k, (ts, body) in docs.items()
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, ts string, html binary, http_status int, mime string"
+        ).selectExpr(
+            "url", "to_timestamp(ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\") as warc_ts",
+            "html", "http_status", "mime"
+        )
+        wd = tmp_path / f"{name}_warc"
+        wd.mkdir()
+        recs = write_warc(df.repartition(2), str(wd), per_record_index=True)
+        idx = tmp_path / f"{name}_idx"
+        write_cdx(recs, str(idx), n_shards=2)
+        return str(idx)
+
+    old = snap("old", {
+        "same": (1, "stable content"),
+        "edit": (1, "version one"),
+        "gone": (1, "bye"),
+        "multi": (5, "new-era"),
+    })
+    new = snap("new", {
+        "same": (9, "stable content"),
+        "edit": (9, "version two"),
+        "born": (9, "hello"),
+        "multi": (9, "new-era"),
+    })
+    got = {r["url"].rsplit("/", 1)[-1]: r["status"]
+           for r in cdx_diff(spark, old, new).collect()}
+    assert got == {
+        "same": "unchanged",
+        "edit": "changed",
+        "gone": "removed",
+        "born": "added",
+        "multi": "unchanged",
+    }
