@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--max-depth", type=int, default=None)
     ap.add_argument("--n-hosts", type=int, default=16)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--archive-dir", default=None,
+                    help="also write WARC segments per round + a CDX index "
+                         "over the whole run (Common Crawl artifact set)")
     args = ap.parse_args()
 
     spark = get_spark(cpus=args.cpus, app_name="gocrawler-crawl")
@@ -52,7 +55,7 @@ def main():
     pages.count()
 
     cfg = CrawlConfig(credit_per_host=args.credit, max_rounds=args.max_rounds,
-                      max_depth=args.max_depth)
+                      max_depth=args.max_depth, archive_dir=args.archive_dir)
     job = CrawlJob(spark, cat, profile, cfg)
     # production path: rules parsed from rendered /robots.txt bodies
     # (temoto/robotstxt semantics), same as entry()
@@ -77,6 +80,7 @@ def main():
         "fetched_total": sum(m["fetched"] for m in history),
         "items": cat.read("items").count() if cat.exists("items") else 0,
         "seen": cat.read("seen").count(),
+        "archive_dir": args.archive_dir,
     }))
     spark.stop()
 
