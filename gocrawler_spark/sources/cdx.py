@@ -63,6 +63,7 @@ __all__ = [
     "cdx_lookup",
     "cdx_get",
     "cdx_diff",
+    "prev_digests",
     "fetch_warc_record",
 ]
 
@@ -315,6 +316,24 @@ def cdx_diff(spark: SparkSession, old_dir: str, new_dir: str) -> DataFrame:
         F.coalesce("new_url", "old_url").alias("url"),
         status.alias("status"),
         "old_ts", "new_ts", "old_digest", "new_digest",
+    )
+
+
+def prev_digests(spark: SparkSession, out_dir: str) -> DataFrame:
+    """(url, prev_digest) of each url's LATEST capture in a written CDX
+    index — the join input for ``write_warc``'s revisit path: the next
+    snapshot's pages left-join this on the raw url, and pages whose
+    current payload digest matches become body-less ``revisit`` records
+    (Common Crawl's unchanged-page storage saver). Raw-url keying
+    mirrors the engine's raw-url dedup semantics."""
+    from pyspark.sql import Window
+
+    df = read_cdx(spark, os.path.join(out_dir, "cdx-*"))
+    w = Window.partitionBy("url").orderBy(F.col("ts").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("url", F.col("digest").alias("prev_digest"))
     )
 
 

@@ -354,6 +354,17 @@ def write_warc(
         .cast("string")
         .alias("mime")
     )
+    # optional revisit input: the previous snapshot's payload digest per
+    # url (sources/cdx.prev_digests). A page whose CURRENT digest equals
+    # it is written as a body-less ``WARC-Type: revisit`` record —
+    # Common Crawl's storage-saving mechanism for unchanged pages; the
+    # body lives in the previous crawl's archive, reachable through its
+    # index. read_warc_binary keeps response records only, so a re-read
+    # of this crawl yields exactly the changed+new pages.
+    sel.append(
+        (F.col("prev_digest") if "prev_digest" in cols
+         else F.lit(None)).cast("string").alias("prev")
+    )
     src = df.select(*sel)
     ext = ".warc.gz" if gzip_members else ".warc"
 
@@ -366,35 +377,53 @@ def write_warc(
         idx_rows = []
         with open(path, "wb") as fh:
             for pdf in batches:
-                for url, html, wdate, status, mime in zip(
-                    pdf["url"], pdf["html"], pdf["wdate"], pdf["status"], pdf["mime"]
+                for url, html, wdate, status, mime, prev in zip(
+                    pdf["url"], pdf["html"], pdf["wdate"], pdf["status"],
+                    pdf["mime"], pdf["prev"],
                 ):
                     body = bytes(html) if html is not None else b""
-                    http = (
-                        f"HTTP/1.1 {int(status)} OK\r\n"
-                        f"Content-Type: {mime or 'text/html'}\r\n\r\n"
-                    ).encode() + body
-                    rid = hashlib.md5(
-                        f"{url}|{wdate}".encode("utf-8", "replace")
-                    ).hexdigest()
-                    head = (
-                        "WARC/1.0\r\n"
-                        "WARC-Type: response\r\n"
-                        f"WARC-Target-URI: {url}\r\n"
-                        f"WARC-Date: {wdate or '1970-01-01T00:00:00Z'}\r\n"
-                        f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
-                        f"Content-Length: {len(http)}\r\n\r\n"
-                    ).encode()
-                    rec = head + http + b"\r\n\r\n"
+                    digest = "sha1:" + base64.b32encode(
+                        hashlib.sha1(body).digest()
+                    ).decode("ascii")
+                    if prev is not None and prev == digest:
+                        # unchanged since the previous snapshot: revisit
+                        # record (headers only, zero-length block)
+                        rid = hashlib.md5(
+                            f"{url}|{wdate}|revisit".encode("utf-8", "replace")
+                        ).hexdigest()
+                        rec = (
+                            "WARC/1.0\r\n"
+                            "WARC-Type: revisit\r\n"
+                            f"WARC-Target-URI: {url}\r\n"
+                            f"WARC-Date: {wdate or '1970-01-01T00:00:00Z'}\r\n"
+                            f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+                            f"WARC-Refers-To-Target-URI: {url}\r\n"
+                            f"WARC-Payload-Digest: {digest}\r\n"
+                            "Content-Length: 0\r\n\r\n"
+                        ).encode() + b"\r\n\r\n"
+                    else:
+                        http = (
+                            f"HTTP/1.1 {int(status)} OK\r\n"
+                            f"Content-Type: {mime or 'text/html'}\r\n\r\n"
+                        ).encode() + body
+                        rid = hashlib.md5(
+                            f"{url}|{wdate}".encode("utf-8", "replace")
+                        ).hexdigest()
+                        head = (
+                            "WARC/1.0\r\n"
+                            "WARC-Type: response\r\n"
+                            f"WARC-Target-URI: {url}\r\n"
+                            f"WARC-Date: {wdate or '1970-01-01T00:00:00Z'}\r\n"
+                            f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+                            f"Content-Length: {len(http)}\r\n\r\n"
+                        ).encode()
+                        rec = head + http + b"\r\n\r\n"
                     if gzip_members:
                         rec = _gzip.compress(rec, mtime=0)  # deterministic member
                     fh.write(rec)
                     if per_record_index:
-                        digest = base64.b32encode(
-                            hashlib.sha1(body).digest()
-                        ).decode("ascii")
                         idx_rows.append(
-                            (url, wdate, int(status), mime, f"sha1:{digest}",
+                            (url, wdate, int(status), mime, digest,
                              path, n_bytes, len(rec))
                         )
                     n_rec += 1

@@ -224,3 +224,88 @@ def test_cdx_diff_between_snapshots(spark, tmp_path):
         "born": "added",
         "multi": "unchanged",
     }
+
+
+def test_revisit_records_for_unchanged_pages(spark, tmp_path):
+    """Second-snapshot pages whose payload digest matches the previous
+    snapshot's latest capture are written as body-less WARC-Type:revisit
+    records (Common Crawl's storage saver): segments shrink, the index
+    still covers every capture, and re-reading the snapshot yields
+    exactly the changed+new pages."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.sources.cdx import prev_digests
+    from gocrawler_spark.sources.warc import read_warc_binary
+
+    def pages_of(docs, day):
+        rows = [(f"https://rv.example/{k}", f"2021-06-{day:02d}T00:00:00Z",
+                 body.encode(), 200, "text/html") for k, body in docs.items()]
+        return spark.createDataFrame(
+            rows, "url string, ts string, html binary, http_status int, mime string"
+        ).selectExpr(
+            "url", "to_timestamp(ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\") as warc_ts",
+            "html", "http_status", "mime"
+        )
+
+    import hashlib
+
+    def fill(seed, n=40):  # incompressible body: gzip can't hide it
+        return " ".join(hashlib.sha256(f"{seed}{i}".encode()).hexdigest()
+                        for i in range(n))
+
+    snap_a = {"a": fill("alpha"), "b": fill("beta"), "c": fill("gamma")}
+    wd_a, idx_a = tmp_path / "a_warc", tmp_path / "a_idx"
+    wd_a.mkdir()
+    write_cdx(
+        write_warc(pages_of(snap_a, 1).repartition(2), str(wd_a),
+                   per_record_index=True),
+        str(idx_a), n_shards=1,
+    )
+
+    snap_b = {"a": fill("alpha"),           # unchanged -> revisit
+              "b": fill("beta-v2"),         # changed  -> response
+              "d": fill("delta")}           # new      -> response
+    prev = prev_digests(spark, str(idx_a))
+    pages_b = pages_of(snap_b, 9).join(prev, "url", "left")
+    wd_b, idx_b = tmp_path / "b_warc", tmp_path / "b_idx"
+    wd_b.mkdir()
+    recs_b = write_warc(pages_b.repartition(1), str(wd_b), per_record_index=True)
+    manifest = write_cdx(recs_b, str(idx_b), n_shards=1)
+
+    # the index covers ALL THREE captures (revisits are indexed too)
+    assert sum(m["n_records"] for m in manifest) == 3
+    # the raw segment holds exactly one revisit record, for 'a'
+    blob = b"".join(
+        gzip.decompress(g) if g[:2] == b"\x1f\x8b" else g
+        for g in [open(wd_b / f, "rb").read() for f in sorted(os.listdir(wd_b))]
+    )
+    raw = _gunzip_concat(wd_b)
+    assert raw.count(b"WARC-Type: revisit") == 1
+    assert raw.count(b"WARC-Type: response") == 2
+    assert b"WARC-Refers-To-Target-URI: https://rv.example/a" in raw
+    # body of the unchanged page is NOT in snapshot B's segments
+    assert snap_b["a"].encode() not in raw and snap_b["b"].encode() in raw
+    # re-reading snapshot B yields exactly the changed+new pages
+    back = read_warc_binary(spark, str(wd_b / "*.warc.gz"))
+    assert {r["url"].rsplit("/", 1)[-1] for r in back.collect()} == {"b", "d"}
+    # and storage actually shrank vs writing 'a' in full
+    full = tmp_path / "b_full"
+    full.mkdir()
+    write_warc(pages_of(snap_b, 9).repartition(1), str(full)).collect()
+    size_rv = sum((wd_b / f).stat().st_size for f in os.listdir(wd_b))
+    size_full = sum((full / f).stat().st_size for f in os.listdir(full))
+    assert size_rv < size_full
+
+
+def _gunzip_concat(d):
+    import gzip as _g
+
+    out = []
+    for f in sorted(os.listdir(d)):
+        b = open(os.path.join(d, f), "rb").read()
+        # per-member gzip: decompress the whole concatenated stream
+        from gocrawler_spark.sources.warc import _gunzip_members
+        out.append(_gunzip_members(b))
+    return b"".join(out)
