@@ -181,12 +181,14 @@ class CrawlJob:
         """F1+F2+F6 then robots (F5). cand must have url/depth columns."""
         if self.cfg.canonicalize_urls:
             # canonical form BEFORE url_hash/admission so every alias of
-            # a URL maps to one frontier + seen entry; non-absolute URLs
-            # canonicalize to NULL and drop here (they are inadmissible
-            # in the default path too — null host)
-            cand = cand.withColumn("url", canonical_url(F.col("url"))).where(
-                F.col("url").isNotNull()
-            )
+            # a URL maps to one frontier + seen entry. Non-absolute URLs
+            # canonicalize to NULL and are dropped by admission's host
+            # allowlist (null host, like the default path) — deliberately
+            # NO where(url IS NOT NULL) here: predicate pushdown would
+            # substitute the whole canonical_url tree into the filter
+            # and evaluate it twice per row (the cdx_lines lesson,
+            # sources/cdx.py)
+            cand = cand.withColumn("url", canonical_url(F.col("url")))
         c = normalize_candidates(cand)
         c = admission_filter(c, self.profile, self.cfg.max_depth)
         c = robots_filter(c, self._robots_df, compiled=self._robots_compiled)
