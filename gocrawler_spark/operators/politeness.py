@@ -88,3 +88,50 @@ def host_stats(frontier: DataFrame, host_col: str = "host") -> DataFrame:
         F.min("discovered_round").alias("oldest_round"),
         F.min("depth").alias("min_depth"),
     )
+
+
+def error_backoff_credits(
+    fetch_log: DataFrame,
+    base_credit: int,
+    current_round: int,
+    lookback_rounds: int = 3,
+    min_credit: int = 1,
+) -> DataFrame:
+    """Per-host ADAPTIVE politeness credit from recent fetch outcomes:
+    ``credit = max(min_credit, round(base * success_rate))`` over the
+    last ``lookback_rounds`` rounds — a host throwing errors (timeouts,
+    404 storms, blocks, rate-limit pages) is throttled toward a probe
+    rate instead of burning the round's budget on it; a recovered host
+    climbs back to the full base as clean responses re-enter the
+    window. This is the batch form of the backoff every production
+    crawler layers onto its rate limiter (the reference's colly setup
+    has only the static LimitRule — scraper.go:101-105 — this is part
+    of the web-scale frontier extension).
+
+    Input: fetch_log lineage rows (url, round, callback — 'OnResponse'
+    / 'OnError', plans/crawl._commit_fetch_log). Output: one row per
+    host seen in the window, ``(host, _ad_credit int)``; hosts absent
+    from the window keep the caller's base (left join + coalesce).
+
+    Scale: one filter + groupBy(host) over the window's lineage rows —
+    host-count output, joinable via AQE (broadcasts while small). At
+    10^10-row logs, partition fetch_log by round so the window filter
+    prunes files, or maintain a rolling per-host outcome table.
+    """
+    from ..operators.frontier import _host_of
+
+    window = fetch_log.filter(
+        (F.col("round") > current_round - lookback_rounds)
+        & (F.col("round") <= current_round)
+    )
+    return (
+        window.groupBy(_host_of(F.col("url")).alias("host"))
+        .agg(F.avg((F.col("callback") == "OnResponse").cast("double")).alias("_ok"))
+        .select(
+            "host",
+            F.greatest(
+                F.lit(min_credit),
+                F.round(F.lit(base_credit) * F.col("_ok")).cast("int"),
+            ).alias("_ad_credit"),
+        )
+    )

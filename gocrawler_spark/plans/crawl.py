@@ -141,6 +141,15 @@ class CrawlConfig:
     # table: a resumed run re-archives its replayed rounds.
     archive_dir: str | None = None
     archive_cdx_shards: int = 8
+    # opt-in adaptive politeness: per-host credit scaled by the host's
+    # recent fetch success rate (operators/politeness.
+    # error_backoff_credits) — erroring hosts throttle toward
+    # backoff_min_credit, recovered hosts climb back. Composes with
+    # round_budget_ms via least(). Default off (reference parity:
+    # colly's LimitRule is static).
+    adaptive_backoff: bool = False
+    backoff_lookback: int = 3
+    backoff_min_credit: int = 1
 
 
 class CrawlJob:
@@ -300,17 +309,43 @@ class CrawlJob:
         cfg = self.cfg
         frontier = self.cat.read("frontier")
 
-        # O3 politeness: salted two-phase per-host credit selection;
-        # with a round budget the credit varies per host (crawl_delay_ms)
+        # O3 politeness: salted two-phase per-host credit selection.
+        # Two opt-in per-host credit shapers compose via least(): the
+        # crawl-delay budget (robots Crawl-delay -> budget/delay) and
+        # the adaptive error backoff (recent fetch_log success rate —
+        # failing hosts throttle to a probe rate). Default: uniform.
+        credit_parts = []
         if cfg.round_budget_ms is not None:
             from ..operators.politeness import host_credit_col
 
             frontier = frontier.join(
                 F.broadcast(self._host_delays), "host", "left"
-            ).withColumn(
-                "_credit",
-                host_credit_col(cfg.credit_per_host, cfg.round_budget_ms),
-            ).drop("crawl_delay_ms")
+            )
+            credit_parts.append(
+                host_credit_col(cfg.credit_per_host, cfg.round_budget_ms)
+            )
+        if cfg.adaptive_backoff and rnd > 1 and self.cat.exists("fetch_log"):
+            from ..operators.politeness import error_backoff_credits
+
+            ad = error_backoff_credits(
+                self.cat.read("fetch_log"), cfg.credit_per_host,
+                current_round=rnd - 1,
+                lookback_rounds=cfg.backoff_lookback,
+                min_credit=cfg.backoff_min_credit,
+            )
+            # plain join: AQE broadcasts the host-count side while small
+            frontier = frontier.join(ad, "host", "left")
+            credit_parts.append(
+                F.coalesce(F.col("_ad_credit"), F.lit(cfg.credit_per_host))
+            )
+        if credit_parts:
+            credit = (
+                credit_parts[0] if len(credit_parts) == 1
+                else F.least(*credit_parts)
+            )
+            frontier = frontier.withColumn(
+                "_credit", credit.cast("int")
+            ).drop("crawl_delay_ms", "_ad_credit")
             sel = select_fetch_set(
                 frontier, cfg.credit_per_host, cfg.salt_parts, credit_col="_credit"
             ).drop("_credit").cache()
