@@ -113,8 +113,9 @@ def bench_schedule_dedupe(spark):
 
     use_bloom = os.environ.get("SPARK_GRAFT_BENCH_BLOOM", "0") == "1"
     # compiled once, like the crawl loop does: the scheduler's rules
-    # table is static, and at 200 hosts / 1 rule each this selects the
-    # join-free map-literal robots plan
+    # table is static. At 200 hosts / 1 rule each this selects the
+    # single-rule BROADCAST JOIN plan — the map-literal plan's linear
+    # key scans were the round-4 regression here (BASELINE.md r5 notes)
     robots_compiled = compile_robots(robots)
 
     def pipeline():

@@ -15,8 +15,12 @@ them value-for-value.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 # Mersenne prime 2^31-1: hash values and multipliers stay < 2^31 so the
 # permutation products stay < 2^62 (no int64 overflow under ANSI mode)
@@ -642,6 +646,74 @@ def exact_substring_dedup(
     )
 
 
+def _blocked_cell_pairs(assigned: DataFrame, cell_cap: int) -> DataFrame:
+    """Within-cell self-join with per-task work bounded by ``cell_cap²``.
+
+    A near-duplicate-heavy corpus — the exact case SemDeDup targets —
+    can collapse most vectors into one k-means cell, degenerating the
+    naive within-cell self-join toward a single all-pairs task. Guard:
+    split each cell of size m into ``g = ceil(m / cell_cap)`` hash
+    blocks and join block-pair keys (lo <= hi) instead of the bare
+    cell id, the classic triangle-blocking self-join. Every unordered
+    pair is covered exactly once:
+
+    * cross-block pair (block(x) != block(y)): x replicates its own
+      block as ``lo`` across ``hi`` in [block(x), g), y replicates
+      ``lo`` in [0, block(y)] with its own block as ``hi`` — they meet
+      only at (min(bx,by), max(bx,by)), once.
+    * same-block pair: both rows land on the diagonal key (s, s) from
+      both sides; the ``a < b`` filter keeps one orientation.
+
+    Per row replication is g+1 across both sides; per-task pair work
+    is ~cell_cap², independent of the largest cell, and total work is
+    unchanged (SemDeDup semantics need every within-cell pair). Cells
+    of size <= cell_cap get g=1, which reduces to the plain self-join.
+    """
+    sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("_csz"))
+    if _LOG.isEnabledFor(logging.INFO):
+        h = sizes.agg(
+            F.max("_csz").alias("mx"),
+            F.avg("_csz").alias("avg"),
+            F.sum(F.when(F.col("_csz") > cell_cap, 1).otherwise(0)).alias("over"),
+            F.count("*").alias("cells"),
+        ).collect()[0]
+        _LOG.info(
+            "semdedup cell histogram: %d cells, max=%d avg=%.1f, %d over cap=%d",
+            h["cells"], h["mx"], h["avg"], h["over"], cell_cap,
+        )
+    blocks = sizes.select(
+        "centroid_id",
+        F.ceil(F.col("_csz") / cell_cap).cast("int").alias("_g"),
+    )
+    sized = assigned.join(F.broadcast(blocks), "centroid_id")
+    blk = F.pmod(F.xxhash64("_id"), F.col("_g")).cast("int")
+    left = sized.select(
+        "centroid_id",
+        F.col("_id").alias("a"),
+        F.col("_v").alias("_va"),
+        blk.alias("_lo"),
+        F.explode(F.sequence(blk, F.col("_g") - 1)).alias("_hi"),
+    )
+    right = sized.select(
+        "centroid_id",
+        F.col("_id").alias("b"),
+        F.col("_v").alias("_vb"),
+        F.explode(F.sequence(F.lit(0), blk)).alias("_lo"),
+        blk.alias("_hi"),
+    )
+    return (
+        left.join(right, ["centroid_id", "_lo", "_hi"])
+        .where((F.col("_lo") < F.col("_hi")) | (F.col("a") < F.col("b")))
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.col("_va"),
+            F.col("_vb"),
+            "centroid_id",
+        )
+    )
+
+
 def semdedup_pairs(
     emb: DataFrame,
     n_clusters: int,
@@ -649,6 +721,7 @@ def semdedup_pairs(
     kmeans_iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "doc_id",
+    cell_cap: int | None = 8192,
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023): k-means the
     embedding space, then compare pairs ONLY within a cluster.
@@ -663,6 +736,12 @@ def semdedup_pairs(
     localCheckpoint'd so the pandas-UDF assign stage runs once, not
     once per join side.
 
+    ``cell_cap`` guards the skewed-cell case: cells larger than the cap
+    are triangle-blocked (`_blocked_cell_pairs`) so no single task ever
+    joins more than ~cap² candidate pairs, whatever the cell-size
+    distribution. The pair set is provably identical to the unguarded
+    join (tested); pass ``cell_cap=None`` for the bare self-join.
+
     Returns (a, b, cos, centroid_id) with a < b and cos >= threshold.
     """
     cents = kmeans_centroids(
@@ -674,19 +753,21 @@ def semdedup_pairs(
                 "centroid_id")
         .localCheckpoint()
     )
-    a = assigned.select(
-        F.col("_id").alias("a"), F.col("_v").alias("_va"), "centroid_id"
-    )
-    b = assigned.select(
-        F.col("_id").alias("b"), F.col("_v").alias("_vb"), "centroid_id"
-    )
+    if cell_cap is not None:
+        paired = _blocked_cell_pairs(assigned, int(cell_cap))
+    else:
+        a = assigned.select(
+            F.col("_id").alias("a"), F.col("_v").alias("_va"), "centroid_id"
+        )
+        b = assigned.select(
+            F.col("_id").alias("b"), F.col("_v").alias("_vb"), "centroid_id"
+        )
+        paired = a.join(b, "centroid_id").where(F.col("a") < F.col("b"))
     cos = _vec_dot(F.col("_va"), F.col("_vb")) / (
         _vec_norm(F.col("_va")) * _vec_norm(F.col("_vb"))
     )
     return (
-        a.join(b, "centroid_id")
-        .where(F.col("a") < F.col("b"))
-        .withColumn("cos", cos)
+        paired.withColumn("cos", cos)
         .where(F.col("cos") >= F.lit(float(threshold)))
         .select("a", "b", "cos", "centroid_id")
     )

@@ -99,9 +99,16 @@ class CompiledRobots:
     has_wild: bool | None = None
 
 
-# map-literal gate: past this host count the inlined CASE/map expression
-# bloats the plan (2 literals per host) faster than it saves join cost
-ROBOTS_MAP_MAX_HOSTS = 1024
+# map-literal gate. Spark evaluates a literal-map lookup as a LINEAR
+# scan over the keys (ArrayBasedMapData has no hash index), and the
+# verdict references the lookup up to 3 times per row, so the plan is
+# O(3·hosts) string compares per candidate vs the broadcast join's one
+# O(1) hash probe. Interleaved same-window A/B at 200 hosts / 8M
+# candidates: map-literal 5.5-5.9 s vs broadcast join 3.8-4.1 s
+# end-to-end (the round-4 schedule_dedupe regression, BASELINE.md
+# round-5 notes) — so the join-free plan only pays below a handful of
+# hosts, where 3·n compares is cheaper than the join's row shuffling.
+ROBOTS_MAP_MAX_HOSTS = 16
 
 
 def compile_robots(robots: DataFrame,
@@ -138,11 +145,12 @@ def robots_filter(
 
     Three plans, picked by the rules table's shape:
 
-    * tiny AND at-most-one-rule-per-host: the rules are inlined as a
-      literal map and the verdict is a pure projection — NO join node
-      at all (measured ~1.8x the single-rule broadcast join at 7M
-      candidates; a long-running scheduler's rules table is static so
-      the driver-side collect happens once via ``compile_robots``);
+    * TINY (<= ROBOTS_MAP_MAX_HOSTS) AND at-most-one-rule-per-host:
+      the rules are inlined as a literal map and the verdict is a pure
+      projection — NO join node at all. Literal-map lookups are linear
+      key scans re-evaluated per verdict reference, so this only wins
+      for a handful of hosts (at 200 hosts it measured 1.45x SLOWER
+      end-to-end than the join — see the gate comment);
     * at most one rule per host (any size): broadcast join + a single
       codegen-friendly boolean verdict;
     * general multi-rule-per-host: broadcast join + longest-prefix fold

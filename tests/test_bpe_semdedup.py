@@ -163,3 +163,67 @@ def test_semdedup_matches_bruteforce_pairs(spark):
     kept = sorted(r["doc_id"] for r in
                   semdedup(docs, emb, n_clusters=2, threshold=0.999).collect())
     assert kept == [0, 3, 5]  # min-id canonical per component
+
+def test_blocked_cell_pairs_bounds_per_task_input(spark):
+    # Planted skew: 200 of 210 vectors in one cell. The triangle-blocked
+    # self-join must emit exactly the naive pair set while no hash block
+    # (the per-task join input) holds more than ~cap rows.
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.operators.dedup import _blocked_cell_pairs
+
+    n_big, n_small, cap = 200, 10, 32
+    rows = [(i, [1.0, float(i % 7)], 0) for i in range(n_big)]
+    rows += [(1000 + i, [1.0, float(i)], 1) for i in range(n_small)]
+    assigned = spark.createDataFrame(
+        rows, "_id long, _v array<double>, centroid_id int"
+    )
+    pairs = _blocked_cell_pairs(assigned, cap).select("a", "b").collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert len(got) == len(pairs)  # every unordered pair exactly once
+    want = {(i, j) for i in range(n_big) for j in range(n_big) if i < j}
+    want |= {
+        (1000 + i, 1000 + j)
+        for i in range(n_small)
+        for j in range(n_small)
+        if i < j
+    }
+    assert got == want
+    # the guard really fans out: the big cell splits into g blocks and
+    # hash-uniform assignment keeps each block well under 2x the cap
+    g = math.ceil(n_big / cap)
+    assert g > 1
+    blk = F.pmod(F.xxhash64("_id"), F.lit(g)).cast("int")
+    sizes = (
+        assigned.where("centroid_id = 0")
+        .select(blk.alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert len(sizes) == g
+    assert max(r["count"] for r in sizes) <= 2 * cap
+
+
+def test_semdedup_cell_cap_matches_unguarded_on_skewed_corpus(spark):
+    # >=80% of vectors collapse into one k-means cell (the SemDeDup
+    # worst case); the capped path must return the identical pair set.
+    base = _vec(3)
+    vecs = {i: [x * (1 + 1e-6 * i) for x in base] for i in range(100)}
+    for i in range(100, 120):
+        vecs[i] = _vec(i)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "doc_id long, embedding array<double>"
+    )
+    kw = dict(n_clusters=4, threshold=0.999)
+    guarded = {
+        (r["a"], r["b"], round(r["cos"], 9), r["centroid_id"])
+        for r in semdedup_pairs(emb, cell_cap=16, **kw).collect()
+    }
+    bare = {
+        (r["a"], r["b"], round(r["cos"], 9), r["centroid_id"])
+        for r in semdedup_pairs(emb, cell_cap=None, **kw).collect()
+    }
+    assert guarded == bare
+    dense = {(i, j) for i in range(100) for j in range(100) if i < j}
+    assert dense <= {(a, b) for a, b, _, _ in guarded}
