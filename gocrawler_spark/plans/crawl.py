@@ -150,6 +150,42 @@ class CrawlConfig:
     adaptive_backoff: bool = False
     backoff_lookback: int = 3
     backoff_min_credit: int = 1
+    # ---- opt-in frontier analytics (round-4 verdict #4): the three
+    # standalone analytics operators steering the fetch loop itself,
+    # mirroring how every admission gate in the reference acts inside
+    # its loop (/root/reference/pkg/scraper/scraper.go:80-105). All
+    # three act on the ROUND'S SELECTION only — the frontier/seen
+    # state tables and the default path stay byte-identical when off.
+    #
+    # Crawl-trap starvation: hosts whose frontier URLs collapse to few
+    # templates with exploding per-template counts (operators/traps)
+    # are anti-joined out of the candidate pool each round, exactly
+    # like the robots disallow set. Trapped hosts stay in the frontier
+    # (they recover if the trap signature clears). Costs one distinct +
+    # two map-side-partial aggs over the frontier per round.
+    trap_detection: bool = False
+    trap_min_urls: int = 1000
+    trap_max_per_template: int = 200
+    # Host-PageRank priorities: each round appends the extracted
+    # host->host link edges to a `host_edges` table (one extra tiny
+    # commit riding the pool); the next round runs fixed-iteration
+    # PageRank over the accumulated graph and composes the tier into
+    # the selection order as priority*levels + (levels-1 - tier) — so
+    # the reference's static product-class order is preserved and
+    # high-rank hosts come first WITHIN each class. Selection-only:
+    # the frontier table keeps the static priority.
+    rank_hosts: bool = False
+    rank_levels: int = 10
+    rank_iters: int = 20
+    # Recrawl scheduling (Cho & Garcia-Molina, operators/recrawl):
+    # every round appends (url, round, md5(html)) digests of fetched
+    # pages; with a budget set, the top-p_changed URLs per host join
+    # the candidate pool as TRANSIENT rows (they are already in `seen`
+    # and are never written back to the frontier) at static priority 2
+    # — after fresh product (0) and non-product (1) URLs. recrawl_min_p
+    # floors the candidacy (default 0.0 = pure top-k per host).
+    recrawl_budget: int | None = None
+    recrawl_min_p: float = 0.0
 
 
 class CrawlJob:
@@ -309,6 +345,92 @@ class CrawlJob:
         cfg = self.cfg
         frontier = self.cat.read("frontier")
 
+        # ---- opt-in frontier analytics (see CrawlConfig): recrawl
+        # union, then trap starvation, then rank composition — so
+        # re-fetch candidates are trap-checked and rank-ordered too.
+        recrawl_active = cfg.recrawl_budget is not None and self.cat.exists(
+            "page_digests"
+        )
+        if recrawl_active:
+            from ..operators.recrawl import (
+                recrawl_priorities,
+                select_recrawl_set,
+            )
+
+            pri = recrawl_priorities(
+                self.cat.read("page_digests"), now=float(rnd)
+            ).where(F.col("p_changed") >= F.lit(float(cfg.recrawl_min_p)))
+            rec_rows = (
+                normalize_candidates(
+                    select_recrawl_set(pri, cfg.recrawl_budget)
+                    .select(
+                        "url",
+                        F.lit(0).cast("int").alias("depth"),
+                        F.lit(2).cast("int").alias("priority"),
+                    )
+                )
+                .select(
+                    "url", "url_hash", "host", "path", "depth", "priority",
+                    F.lit(rnd).cast("int").alias("discovered_round"),
+                )
+                .withColumn(
+                    BUCKET_COL, bucket_of(F.col("url_hash"), cfg.n_buckets)
+                )
+            )
+            frontier = frontier.withColumn(
+                "_recrawl", F.lit(False)
+            ).unionByName(rec_rows.withColumn("_recrawl", F.lit(True)))
+        starved = None
+        if cfg.trap_detection:
+            from ..operators.traps import trap_hosts
+
+            traps = trap_hosts(
+                frontier,
+                min_urls=cfg.trap_min_urls,
+                max_urls_per_template=cfg.trap_max_per_template,
+            ).withColumn("_trap", F.lit(True))
+            # one flag join (tiny right side, AQE-broadcast) instead of
+            # a semi+anti pair that would run the trap aggregation twice
+            flagged = frontier.join(traps, "host", "left")
+            # starved rows skip selection but MUST survive the round's
+            # frontier overwrite — they recover when the trap clears
+            starved = flagged.where(F.col("_trap")).drop("_trap")
+            if recrawl_active:
+                starved = starved.where(~F.col("_recrawl"))
+            frontier = flagged.where(F.col("_trap").isNull()).drop("_trap")
+        ranked = cfg.rank_hosts and self.cat.exists("host_edges")
+        if ranked:
+            from ..operators.graph import pagerank, rank_priorities
+
+            edges = (
+                self.cat.read("host_edges")
+                .groupBy("src", "dst")
+                .agg(F.sum("weight").alias("weight"))
+            )
+            pri_map = rank_priorities(
+                pagerank(edges, fixed_iters=cfg.rank_iters),
+                levels=cfg.rank_levels,
+            ).select(
+                F.col("id").alias("host"), F.col("priority").alias("_rpri")
+            )
+            # selection-order priority only: the static priority is kept
+            # aside and restored on the frontier write-back below
+            frontier = (
+                frontier.withColumnRenamed("priority", "_static_pri")
+                .join(pri_map, "host", "left")
+                .withColumn(
+                    "priority",
+                    (
+                        F.col("_static_pri") * cfg.rank_levels
+                        + (
+                            F.lit(cfg.rank_levels - 1)
+                            - F.coalesce(F.col("_rpri"), F.lit(0))
+                        )
+                    ).cast("int"),
+                )
+                .drop("_rpri")
+            )
+
         # O3 politeness: salted two-phase per-host credit selection.
         # Two opt-in per-host credit shapers compose via least(): the
         # crawl-delay budget (robots Crawl-delay -> budget/delay) and
@@ -441,8 +563,24 @@ class CrawlJob:
         # timeline shows is ~half the round at small scale. On a real
         # cluster the same shape keeps executors busy across the
         # commits' barrier instead of draining between five serial jobs.
-        remainder = sel.filter(~F.col("is_selected")).select(*[f.name for f in FRONTIER_SCHEMA.fields], BUCKET_COL)
+        rem = sel.filter(~F.col("is_selected"))
+        if recrawl_active:
+            # transient re-fetch candidates never enter the frontier
+            rem = rem.filter(~F.col("_recrawl"))
+        rem_cols = [
+            F.col("_static_pri").cast("int").alias("priority")
+            if ranked and f.name == "priority"
+            else f.name
+            for f in FRONTIER_SCHEMA.fields
+        ]
+        remainder = rem.select(*rem_cols, BUCKET_COL)
         frontier2 = remainder.unionByName(new_rows)
+        if starved is not None:
+            frontier2 = frontier2.unionByName(
+                starved.select(
+                    *[f.name for f in FRONTIER_SCHEMA.fields], BUCKET_COL
+                )
+            )
         seen_append = new_rows.select("url_hash", "url", F.lit(rnd).alias("first_round"), BUCKET_COL)
 
         # DEADLOCK INVARIANT: the items/quarantine lambdas BLOCK their
@@ -452,7 +590,12 @@ class CrawlJob:
         # archive_dir) so every task gets a worker up front and the
         # blocked dependents can never starve stats out of a slot.
         # Adding a task? Bump N_COMMIT_TASKS.
-        N_COMMIT_TASKS = 7 + (1 if cfg.archive_dir else 0)
+        N_COMMIT_TASKS = (
+            7
+            + (1 if cfg.archive_dir else 0)
+            + (1 if cfg.rank_hosts else 0)
+            + (1 if cfg.recrawl_budget is not None else 0)
+        )
         with ThreadPoolExecutor(max_workers=N_COMMIT_TASKS,
                                 thread_name_prefix="commit") as ex:
             # the new-candidate count rides the pool too (NB: tried
@@ -507,6 +650,38 @@ class CrawlJob:
                     "url", "inner",
                 )
                 futs.append(ex.submit(self._commit_archive, rnd, afound))
+            if cfg.rank_hosts:
+                # host->host link edges from this round's extractions:
+                # tiny after the groupBy (hosts², not links), reads the
+                # extracted cache — no extra pages scan
+                from ..operators.frontier import _host_of
+                from ..operators.graph import host_link_graph
+
+                edelta = host_link_graph(
+                    extracted.select(
+                        F.col("host").alias("src_host"),
+                        F.explode("links").alias("_dst"),
+                    ).withColumn("dst_host", _host_of(F.col("_dst")))
+                ).withColumn("round", F.lit(rnd).cast("int"))
+                futs.append(ex.submit(self.cat.append, "host_edges", edelta))
+            if cfg.recrawl_budget is not None:
+                # (url, round, digest) history rows for change-rate
+                # estimation — one more pruned pages-scan join, same
+                # broadcast gate as the fetch join
+                dset = fetch_set.select("url")
+                digests = pages.select("url", "html").join(
+                    F.broadcast(dset)
+                    if n_fetch <= cfg.broadcast_fetch_max
+                    else dset,
+                    "url", "inner",
+                ).select(
+                    "url",
+                    F.lit(float(rnd)).alias("fetch_ts"),
+                    F.md5(F.col("html")).alias("content_hash"),
+                )
+                futs.append(
+                    ex.submit(self.cat.append, "page_digests", digests)
+                )
             # .result() re-raises any commit failure before checkpoint
             n_items = [f.result() for f in futs][2]
             stats = stats_fut.result()
