@@ -31,7 +31,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _run_crawl(spark: SparkSession, sf_dir: str, max_rounds: int = 3):
+def _run_crawl(spark: SparkSession, sf_dir: str, max_rounds: int = 3, **cfg_extra):
     from gocrawler_spark.datagen import pages_from_documents, robots_pages
     from gocrawler_spark.operators.robots_parse import parse_robots_pages
     from gocrawler_spark.plans.crawl import USER_AGENT, CrawlConfig, CrawlJob
@@ -50,7 +50,7 @@ def _run_crawl(spark: SparkSession, sf_dir: str, max_rounds: int = 3):
     job = CrawlJob(
         spark, cat, profile,
         CrawlConfig(credit_per_host=8, max_rounds=max_rounds, salt_parts=8,
-                    n_buckets=16, round_budget_ms=12000),
+                    n_buckets=16, round_budget_ms=12000, **cfg_extra),
     )
     seeds_df = spark.createDataFrame(
         [(s["url"], s["priority"]) for s in seeds], "url string, priority int"
@@ -722,19 +722,22 @@ def q33(spark, sf):
 @_q("q45_crawl_metrics")
 def q45(spark, sf):
     # S8/S10/A1/A2 — per-round metrics from the checkpoint rows (the log
-    # sink's analytic content): visitsCount / loop counters / seen total
-    cat = _run_crawl(spark, sf, max_rounds=2)
+    # sink's analytic content): visitsCount / loop counters / seen total,
+    # plus the decode stage's per-round charset histogram (a canonical
+    # "codec=count,..." string; the synthetic corpus is all-utf-8, so it
+    # doubles as a fetched-count cross-check)
+    cat = _run_crawl(spark, sf, max_rounds=2, decode_charsets=True)
     ck = cat.read("checkpoints_run")
     ms = F.from_json(
         "metrics",
         "round int, fetched int, errors int, new_candidates int, "
-        "items_upserted int, seen_total long",
+        "items_upserted int, seen_total long, charsets string",
     )
     return (
         ck.filter(F.col("round") > 0)
         .select("round", ms.alias("m"))
         .select("round", "m.fetched", "m.errors", "m.new_candidates",
-                "m.items_upserted", "m.seen_total")
+                "m.items_upserted", "m.seen_total", "m.charsets")
     )
 
 

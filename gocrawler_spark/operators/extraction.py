@@ -92,10 +92,21 @@ def _resolve_profile(spec) -> SiteProfile:
     return synthetic_profile(arg)
 
 
-def extract_fetched(fetched: DataFrame, profile: SiteProfile) -> DataFrame:
+def extract_fetched(
+    fetched: DataFrame,
+    profile: SiteProfile,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """fetched(url, url_hash, host, depth, priority, fetch_rank, html) ->
     EXTRACT_SCHEMA rows. html=null rows must be filtered out by the
-    caller (they are the OnError path)."""
+    caller (they are the OnError path).
+
+    ``passthrough``: extra input columns carried through the kernel
+    verbatim (appended after the EXTRACT_SCHEMA fields) — e.g. the
+    decode stage's ``charset`` so fetch_log lineage can record it
+    without a second pages-scan join. Strings only (the crawl's use);
+    the rows keep their batch order so the columns attach positionally.
+    """
     spec = _profile_spec(profile)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,12 +137,21 @@ def extract_fetched(fetched: DataFrame, profile: SiteProfile) -> DataFrame:
                         ex["keywords"], ex["description"], ex["is_captcha"], item,
                     )
                 )
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows, columns=[f.name for f in EXTRACT_SCHEMA.fields]
             )
+            for p in passthrough:
+                out[p] = pd.Series(list(pdf[p]), dtype=object)
+            yield out
 
     cols = ["url", "url_hash", "host", "depth", "priority", "fetch_rank", "html"]
-    return fetched.select(*cols).mapInPandas(run, EXTRACT_SCHEMA)
+    schema = EXTRACT_SCHEMA
+    if passthrough:
+        schema = StructType(
+            list(EXTRACT_SCHEMA.fields)
+            + [StructField(p, StringType()) for p in passthrough]
+        )
+    return fetched.select(*cols, *passthrough).mapInPandas(run, schema)
 
 
 PROXY_SCHEMA = StructType(

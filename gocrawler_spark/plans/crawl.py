@@ -186,6 +186,17 @@ class CrawlConfig:
     # floors the candidacy (default 0.0 = pure top-k per host).
     recrawl_budget: int | None = None
     recrawl_min_p: float = 0.0
+    # Opt-in charset normalization (operators/encoding): WHATWG-order
+    # sniff (BOM > meta prescan > utf-8) + decode of the fetched bytes
+    # BEFORE extraction, so gbk/latin-1/shift_jis pages extract the
+    # same text a utf-8 copy would (historically ~10-20% of real CC
+    # responses are non-utf-8; the default extractor assumes utf-8 with
+    # replacement). Adds one mapInPandas decode pass over the round's
+    # fetched pages, a `charset` column on fetch_log OnResponse rows,
+    # and a per-round charset histogram in the checkpoint metrics.
+    # Default off: the reference treats bytes as-is and the byte-parity
+    # suite pins that.
+    decode_charsets: bool = False
 
 
 class CrawlJob:
@@ -500,9 +511,22 @@ class CrawlJob:
         else:
             found = pages_kv.join(fetch_set, "url", "inner")
 
+        passthrough: tuple[str, ...] = ()
+        if cfg.decode_charsets:
+            from ..operators.encoding import decode_html
+
+            # decode to proper utf-8 BEFORE the extract kernel (which
+            # reads bytes as utf-8-with-replacement); the charset rides
+            # through the kernel as a passthrough column so lineage
+            # records it without a second pages-scan join
+            found = decode_html(found, html_col="html").withColumn(
+                "html", F.encode(F.col("html_text"), "UTF-8")
+            ).drop("html_text")
+            passthrough = ("charset",)
         extracted = extract_fetched(
             found.drop("fetch_rank").withColumnRenamed("seq", "fetch_rank"),
             self.profile,
+            passthrough=passthrough,
         ).withColumnRenamed("fetch_rank", "seq").cache()
 
         # OnError rows: anti-join against the cached extracted set — never
@@ -595,6 +619,7 @@ class CrawlJob:
             + (1 if cfg.archive_dir else 0)
             + (1 if cfg.rank_hosts else 0)
             + (1 if cfg.recrawl_budget is not None else 0)
+            + (1 if cfg.decode_charsets else 0)
         )
         with ThreadPoolExecutor(max_workers=N_COMMIT_TASKS,
                                 thread_name_prefix="commit") as ex:
@@ -682,10 +707,25 @@ class CrawlJob:
                 futs.append(
                     ex.submit(self.cat.append, "page_digests", digests)
                 )
+            ch_fut = None
+            if cfg.decode_charsets:
+                # charset histogram for the round's metrics — a tiny
+                # cache-scan groupBy (few distinct codecs), pool-ridden
+                ch_fut = ex.submit(
+                    lambda: extracted.groupBy("charset").count().collect()
+                )
             # .result() re-raises any commit failure before checkpoint
             n_items = [f.result() for f in futs][2]
             stats = stats_fut.result()
             n_new = n_new_fut.result()
+            charsets = (
+                ",".join(
+                    f"{r['charset']}={r['count']}"
+                    for r in sorted(ch_fut.result(), key=lambda r: str(r["charset"]))
+                )
+                if ch_fut is not None
+                else None
+            )
         n_err = n_fetch - stats["n_ok_urls"]
         self._seen_count += n_new
 
@@ -698,6 +738,8 @@ class CrawlJob:
             "seen_total": self._seen_count,
             "done": False,
         }
+        if charsets is not None:
+            metrics["charsets"] = charsets
         self._checkpoint(rnd, metrics)
         sel.unpersist()
         fetch_set.unpersist()
@@ -828,9 +870,14 @@ class CrawlJob:
         from ..functions.timing import request_timing
         from ..operators.frontier import response_revalidation
 
+        # decode_charsets runs append the sniffed charset per OnResponse
+        # row (null on OnError — nothing was decoded); default runs keep
+        # the reference-parity schema, no column at all
+        has_charset = "charset" in extracted.columns
+
         def lineage(df: DataFrame, callback: str, error: str, status: int) -> DataFrame:
             start_at, end_at, duration_ms = request_timing(F.col("url"), F.lit(rnd))
-            return df.select(
+            cols = [
                 F.col("url_hash").alias("req_id"), "url",
                 F.lit(rnd).alias("round"), "seq",
                 F.lit(callback).alias("callback"), F.lit(error).alias("error"),
@@ -841,9 +888,21 @@ class CrawlJob:
                 _headers_col().alias("headers"),
                 F.create_map().cast("map<string,string>").alias("cookies"),
                 F.spark_partition_id().alias("partition_id"),
-            )
+            ]
+            if has_charset:
+                cols.append(
+                    (
+                        F.col("charset")
+                        if "charset" in df.columns
+                        else F.lit(None).cast("string")
+                    ).alias("charset")
+                )
+            return df.select(*cols)
 
-        ok = response_revalidation(extracted.select("url", "url_hash", "depth", "seq"), self.profile)
+        ok_cols = ["url", "url_hash", "depth", "seq"] + (
+            ["charset"] if has_charset else []
+        )
+        ok = response_revalidation(extracted.select(*ok_cols), self.profile)
         resp = lineage(ok, "OnResponse", "", 200)
         errs = lineage(missing, "OnError", "Not Found", 404)
         # (no errs.count() here — run_round derives the OnError count

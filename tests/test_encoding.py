@@ -63,3 +63,94 @@ def test_decode_html_roundtrips_legacy_pages(spark):
     # the wrong default would have produced mojibake: prove the stakes
     assert "café" in got["u1"][0]
     assert LATIN1.encode("latin-1").decode("utf-8", "replace") != LATIN1
+
+
+def test_crawl_decode_charsets_extracts_ground_truth_text(spark, tmp_path):
+    """Verdict r4 #5: decode wired into the crawl. Two product pages
+    are re-encoded as gbk and latin-1 (meta-labeled); with
+    decode_charsets=True their extracted item descriptions must equal
+    the utf-8 ground truth, fetch_log records the sniffed charset, and
+    the round metrics carry a charset histogram. Without decode the gbk
+    page extracts mojibake."""
+    from pyspark.sql import functions as F
+
+    from gocrawler_spark.datagen import crawl_corpus
+    from gocrawler_spark.plans.crawl import CrawlConfig, CrawlJob
+    from gocrawler_spark.tables.catalog import SnapshotCatalog
+
+    from .conftest import pages_df, robots_df, seeds_df
+
+    pages, seeds, robots, hosts, profile = crawl_corpus(40, 2)
+    prods = [p for p in pages if "detproducto" in p["url"]]
+    pg, pl = prods[0], prods[1]
+    inj_g = "Descripción 世界 del producto"
+    inj_l = "Descripción café del producto"
+
+    def rewrite(p, meta, inject, codec):
+        s = p["html"].decode("utf-8")
+        s = s.replace("Descripcion del producto", inject)
+        s = s.replace("<head>", f'<head>\n  <meta charset="{meta}">', 1)
+        return dict(p, html=s.encode(codec))
+
+    def corpus(meta_g, codec_g, meta_l, codec_l):
+        out = []
+        for p in pages:
+            if p is pg:
+                out.append(rewrite(p, meta_g, inj_g, codec_g))
+            elif p is pl:
+                out.append(rewrite(p, meta_l, inj_l, codec_l))
+            else:
+                out.append(p)
+        return out
+
+    truth = corpus("utf-8", "utf-8", "utf-8", "utf-8")
+    planted = corpus("gbk", "gbk", "iso-8859-1", "iso-8859-1")
+    # seed the two pages directly so round 1 fetches them
+    seeds = seeds + [
+        {"url": pg["url"], "priority": 0},
+        {"url": pl["url"], "priority": 0},
+    ]
+
+    def run(tag, rows, **cfg):
+        cat = SnapshotCatalog(str(tmp_path / tag), spark)
+        job = CrawlJob(
+            spark, cat, profile,
+            CrawlConfig(credit_per_host=4, max_rounds=2, salt_parts=4,
+                        n_buckets=8, **cfg),
+        )
+        job.init_run(seeds_df(spark, seeds), robots_df(spark, robots))
+        job.run(pages_df(spark, rows))
+        return cat
+
+    def desc_of(cat, url):
+        r = cat.read("items").where(F.col("url") == url).select("description").collect()
+        assert len(r) == 1, url
+        return r[0]["description"]
+
+    t = run("truth", truth, decode_charsets=True)
+    d = run("decoded", planted, decode_charsets=True)
+    for u in (pg["url"], pl["url"]):
+        assert desc_of(d, u) == desc_of(t, u)
+    assert "世界" in desc_of(t, pg["url"])
+    assert "café" in desc_of(t, pl["url"])
+
+    # fetch_log carries the sniffed charset per OnResponse row
+    log = d.read("fetch_log")
+    got = {
+        r["url"]: r["charset"]
+        for r in log.where(F.col("url").isin(pg["url"], pl["url"])).collect()
+    }
+    assert got == {pg["url"]: "gbk", pl["url"]: "iso8859-1"}
+    # and the round metrics carry the histogram
+    import json as _json
+
+    m1 = _json.loads(
+        d.read("checkpoints_run").where(F.col("round") == 1).first()["metrics"]
+    )
+    assert "gbk=1" in m1["charsets"] and "iso8859-1=1" in m1["charsets"]
+    assert "utf-8=" in m1["charsets"]
+
+    # without decode, the gbk page extracts mojibake, not the truth
+    raw = run("raw", planted)
+    assert desc_of(raw, pg["url"]) != desc_of(t, pg["url"])
+    assert "charset" not in raw.read("fetch_log").columns
