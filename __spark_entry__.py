@@ -536,12 +536,54 @@ def q25(spark, sf):
     return cosine_topk_bruteforce(corpus, queries, k=5)
 
 
-@_q("q26_ann_ivf")  # rows-only: approximate path; recall vs brute force in pytest
+# IVF oracle (the q65 md5-init trick): kmeans_iters=0 pins the
+# deterministic centroid pick (16 smallest md5(vec_id)), so DuckDB can
+# replay the whole approximate path — argmax cell assignment (ties to
+# the lower centroid_id, matching np.argmax), per-query top-nprobe
+# probe list, exact cosine within probed cells, rounded top-k. Both
+# engines run on DOUBLE[] casts; the 6dp round absorbs summation-order
+# noise between the numpy matmul and DuckDB's fold.
+_IVF_ORACLE = (
+    "WITH corpus AS MATERIALIZED ("
+    " SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 10"
+    "), q AS MATERIALIZED ("
+    " SELECT vec_id AS q_id, cast(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10"
+    "), picked AS MATERIALIZED ("
+    " SELECT vec_id, v, md5(cast(vec_id AS varchar)) AS r FROM corpus ORDER BY r LIMIT 16"
+    "), cents AS MATERIALIZED ("
+    " SELECT cast(row_number() OVER (ORDER BY r) - 1 AS int) AS centroid_id, v AS c FROM picked"
+    "), assigned AS MATERIALIZED ("
+    " SELECT vec_id, v, centroid_id FROM ("
+    "  SELECT corpus.vec_id, corpus.v, cents.centroid_id,"
+    "   row_number() OVER (PARTITION BY corpus.vec_id"
+    "    ORDER BY list_cosine_similarity(corpus.v, cents.c) DESC, cents.centroid_id) AS rk"
+    "  FROM corpus CROSS JOIN cents) WHERE rk = 1"
+    "), probes AS MATERIALIZED ("
+    " SELECT q_id, qv, centroid_id FROM ("
+    "  SELECT q.q_id, q.qv, cents.centroid_id,"
+    "   row_number() OVER (PARTITION BY q.q_id"
+    "    ORDER BY list_cosine_similarity(q.qv, cents.c) DESC, cents.centroid_id) AS rk"
+    "  FROM q CROSS JOIN cents) WHERE rk <= 4"
+    "), scored AS ("
+    " SELECT p.q_id, a.vec_id, round(list_cosine_similarity(p.qv, a.v), 6) AS cosine"
+    " FROM probes p JOIN assigned a USING (centroid_id)"
+    ") "
+    "SELECT q_id, vec_id, rank, cosine FROM ("
+    " SELECT q_id, vec_id, cosine,"
+    "  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank"
+    " FROM scored) WHERE rank <= 5"
+)
+
+
+@_q("q26_ann_ivf", _IVF_ORACLE)
 def q26(spark, sf):
-    # the full IVF lifecycle: k-means centroids -> cell assignment ->
-    # WRITTEN index (partitionBy centroid_id) -> query through
+    # the full IVF lifecycle: deterministic centroids -> cell assignment
+    # -> WRITTEN index (partitionBy centroid_id) -> query through
     # ivf_topk_indexed, whose partition-pruned cell read IS the index
-    # (plan-asserted in test_ivf_indexed_partition_pruning)
+    # (plan-asserted in test_ivf_indexed_partition_pruning). iters=0
+    # pins the md5 centroid init so the DuckDB twin replays the
+    # identical clustering; the Lloyd-refined quality path (iters>=1) is
+    # recall-tested in pytest against the brute-force yardstick.
     from gocrawler_spark.operators.similarity import (
         ivf_assign,
         ivf_topk_indexed,
@@ -554,7 +596,7 @@ def q26(spark, sf):
     )
     queries = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
     corpus = emb.filter("vec_id >= 10")
-    cents = kmeans_centroids(corpus, n_centroids=16, iters=2)
+    cents = kmeans_centroids(corpus, n_centroids=16, iters=0)
     path = os.path.join(
         tempfile.gettempdir(), f"gocrawler_ivf_{os.path.basename(sf.rstrip('/'))}"
     )
