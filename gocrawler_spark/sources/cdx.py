@@ -22,19 +22,24 @@ Layout produced::
   range bounds; no global sort, no single-reducer funnel). At Common
   Crawl scale (~3×10^9 records/crawl) this is ~300 shards of ~10^7
   lines — one wide shuffle, embarrassingly parallel writes.
-* ``cluster.idx`` holds one line per shard (first key, last key, file)
-  — per-shard granularity instead of CC's every-3000th-line blocks, the
-  same pruning math with a far smaller driver-side footprint (shard
-  count rows, bounded metadata scale).
+* ``cluster.idx`` holds one line per BLOCK of ``block_size`` records
+  (CC indexes every ~3000th line the same way): ``first_key last_key
+  file n_records offset length`` (tab-separated). Each block is its own
+  gzip member inside the shard file, so a point lookup seeks to
+  ``offset``, reads ``length`` bytes and decompresses ONE block —
+  O(block), not O(shard). At archive scale (~1 GiB shards) that is the
+  difference between a ranged GET of ~100 KB and a full-shard scan.
 * JSON fields (url, mime, status, digest, length, offset, filename)
   follow CC's cdxj records: ``filename``+``offset``+``length`` make a
   ranged GET of one record possible because ``write_warc`` gzips each
   record as its own member.
 
-Simplification vs CC, documented: shards are whole-file gzip (Spark's
-text codec), not zlib-block "bgzip"; random access INTO a shard is a
-decompress-and-scan of that one shard rather than a block seek. Shard
-pruning — the part that matters at 10^9 keys — is faithful.
+Multi-member gzip is still a valid ``.gz`` stream: ``spark.read.text``
+(Hadoop gzip codec) and Python's gzip module both decompress the
+concatenation, so full-index reads (``read_cdx``/``cdx_diff``) are
+unchanged; only the lookup path exploits the block boundaries.
+``cluster.idx`` lines from the pre-block format (4 fields, one line per
+shard) are still accepted by the lookup (offset 0 / whole file).
 """
 
 from __future__ import annotations
@@ -144,17 +149,26 @@ def write_cdx(
     n_shards: int = 1,
     gzip_shards: bool = True,
     prefix: str = "cdx",
+    block_size: int = 3000,
 ) -> list[dict]:
     """Write a sorted, sharded CDXJ index + cluster.idx from WARC
     per-record index rows. EAGER (unlike the other sinks): cluster.idx
     is derived from the shard manifest, so the write must run here.
-    Returns the manifest as a list of dicts (path, first_key, last_key,
-    n_records) — shard-count-sized, bounded metadata scale.
+
+    Every ``block_size`` records start a new gzip member (CC's own
+    cluster.idx granularity is ~3000 lines) and contribute one
+    cluster.idx line carrying the block's key range + byte range, so
+    point lookups read O(block). Returns the manifest as a list of
+    per-shard dicts (path, first_key, last_key, n_records, blocks) —
+    block-count-sized, still bounded metadata scale (~n_records/3000
+    rows: CC itself ships exactly this as a flat file).
     """
     from pyspark import TaskContext
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if block_size < 1:
+        raise ValueError("block_size must be >= 1")
     os.makedirs(out_dir, exist_ok=True)
     ext = ".gz" if gzip_shards else ""
     lines = (
@@ -168,63 +182,101 @@ def write_cdx(
 
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
-        opener = (
-            # mtime=0: identical input -> byte-identical shard
-            (lambda p: _gzip.GzipFile(filename=p, mode="wb", mtime=0))
-            if gzip_shards
-            else (lambda p: open(p, "wb"))
-        )
-        n, first_key, last_key = 0, None, None
-        with opener(path) as fh:
+        cols = ["path", "block", "first_key", "last_key", "n_records",
+                "offset", "length"]
+        blocks: list[tuple] = []
+        raw = open(path, "wb")
+        member = None  # current block's gzip member (None when plain)
+        blk_first = blk_last = None
+        blk_n, blk_off = 0, 0
+
+        def close_block():
+            nonlocal member, blk_first, blk_last, blk_n
+            if blk_n == 0:
+                return
+            if member is not None:
+                member.close()  # flush this member; raw stays open
+                member = None
+            blocks.append(
+                (path, len(blocks), blk_first, blk_last, blk_n,
+                 blk_off, raw.tell() - blk_off)
+            )
+            blk_first, blk_last, blk_n = None, None, 0
+
+        try:
             for pdf in batches:
                 for urlkey, line in zip(pdf["urlkey"], pdf["line"]):
                     if urlkey is None:  # unkeyable url — see cdx_lines
                         continue
-                    fh.write(line.encode("utf-8") + b"\n")
-                    if first_key is None:
-                        first_key = urlkey
-                    last_key = urlkey
-                    n += 1
-        if n == 0:
+                    if blk_n == 0:
+                        blk_off = raw.tell()
+                        blk_first = urlkey
+                        if gzip_shards:
+                            # mtime=0, no filename field: identical
+                            # input -> byte-identical shard
+                            member = _gzip.GzipFile(
+                                fileobj=raw, mode="wb", mtime=0
+                            )
+                    (member if member is not None else raw).write(
+                        line.encode("utf-8") + b"\n"
+                    )
+                    blk_last = urlkey
+                    blk_n += 1
+                    if blk_n >= block_size:
+                        close_block()
+            close_block()
+        finally:
+            raw.close()
+        if not blocks:
             os.remove(path)  # range partitioner may leave empty shards
-            yield pd.DataFrame(
-                columns=["path", "first_key", "last_key", "n_records"]
-            )
+            yield pd.DataFrame(columns=cols)
         else:
-            yield pd.DataFrame(
-                [(path, first_key, last_key, n)],
-                columns=["path", "first_key", "last_key", "n_records"],
-            )
+            yield pd.DataFrame(blocks, columns=cols)
 
     manifest_schema = StructType(
         [
             StructField("path", StringType()),
+            StructField("block", LongType()),
             StructField("first_key", StringType()),
             StructField("last_key", StringType()),
             StructField("n_records", LongType()),
+            StructField("offset", LongType()),
+            StructField("length", LongType()),
         ]
     )
-    manifest = sorted(
+    rows = sorted(
         (r.asDict() for r in lines.mapInPandas(run, manifest_schema).collect()),
-        key=lambda m: m["path"],
+        key=lambda m: (m["path"], m["block"]),
     )
     with open(os.path.join(out_dir, "cluster.idx"), "w", encoding="utf-8") as fh:
-        for m in manifest:
+        for b in rows:
             fh.write(
-                f"{m['first_key']}\t{m['last_key']}\t"
-                f"{os.path.basename(m['path'])}\t{m['n_records']}\n"
+                f"{b['first_key']}\t{b['last_key']}\t"
+                f"{os.path.basename(b['path'])}\t{b['n_records']}\t"
+                f"{b['offset']}\t{b['length']}\n"
             )
+    # per-shard manifest (the pre-block return shape, plus blocks)
+    manifest: list[dict] = []
+    for b in rows:
+        if not manifest or manifest[-1]["path"] != b["path"]:
+            manifest.append(
+                {"path": b["path"], "first_key": b["first_key"],
+                 "last_key": b["last_key"], "n_records": 0, "blocks": []}
+            )
+        m = manifest[-1]
+        m["last_key"] = b["last_key"]
+        m["n_records"] += b["n_records"]
+        m["blocks"].append(
+            {k: b[k] for k in ("first_key", "last_key", "n_records",
+                               "offset", "length")}
+        )
     return manifest
 
 
-def read_cdx(spark: SparkSession, path: str | list[str]) -> DataFrame:
-    """CDXJ shard files -> DataFrame (urlkey, ts, + CDX_JSON_SCHEMA
-    fields). ``path`` is a file/glob/dir of ``cdx-*`` shards;
-    ``spark.read.text`` decompresses .gz transparently and parallelizes
-    per file (per-shard, CC's own distribution unit). The JSON tail may
-    contain spaces, so the line splits on the first two spaces only.
-    """
-    raw = spark.read.text(path)
+def _parse_cdx_values(raw: DataFrame) -> DataFrame:
+    """(value: string) of CDXJ lines -> (urlkey, ts, + CDX_JSON_SCHEMA
+    fields). The JSON tail may contain spaces, so the line splits on
+    the first two spaces only."""
     parts = F.split(F.col("value"), " ", 3)
     return raw.select(
         F.element_at(parts, 1).alias("urlkey"),
@@ -233,18 +285,74 @@ def read_cdx(spark: SparkSession, path: str | list[str]) -> DataFrame:
     ).select("urlkey", "ts", "j.*")
 
 
-def _shards_for_prefix(out_dir: str, key_prefix: str) -> list[str]:
-    """cluster.idx -> the shard files whose [first_key, last_key] range
-    can contain keys starting with ``key_prefix``. Driver-side read of a
-    shard-count-sized text file."""
+def read_cdx(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """CDXJ shard files -> DataFrame (urlkey, ts, + CDX_JSON_SCHEMA
+    fields). ``path`` is a file/glob/dir of ``cdx-*`` shards;
+    ``spark.read.text`` decompresses .gz transparently (including the
+    writer's multi-member block layout) and parallelizes per file
+    (per-shard, CC's own distribution unit).
+    """
+    return _parse_cdx_values(spark.read.text(path))
+
+
+def _blocks_for_prefix(out_dir: str, key_prefix: str) -> list[tuple[str, int, int]]:
+    """cluster.idx -> (path, offset, length) of the blocks whose
+    [first_key, last_key] range can contain keys starting with
+    ``key_prefix``. Driver-side read of a block-count-sized text file
+    (CC ships the same file flat; ~1M lines for a full crawl — fine).
+    Pre-block 4-field lines map to (path, 0, -1) = whole file."""
     hi = key_prefix + "\uffff"  # above any real key char
     picked = []
     with open(os.path.join(out_dir, "cluster.idx"), encoding="utf-8") as fh:
         for line in fh:
-            first, last, fname = line.rstrip("\n").split("\t")[:3]
-            if not (last < key_prefix or first > hi):
-                picked.append(os.path.join(out_dir, fname))
+            fields = line.rstrip("\n").split("\t")
+            first, last, fname = fields[:3]
+            if last < key_prefix or first > hi:
+                continue
+            if len(fields) >= 6:
+                picked.append(
+                    (os.path.join(out_dir, fname), int(fields[4]), int(fields[5]))
+                )
+            else:
+                picked.append((os.path.join(out_dir, fname), 0, -1))
     return picked
+
+
+def _shards_for_prefix(out_dir: str, key_prefix: str) -> list[str]:
+    """Shard-level view of :func:`_blocks_for_prefix`: the distinct
+    shard files any matching block lives in, in cluster.idx order."""
+    seen: dict[str, None] = {}
+    for path, _off, _ln in _blocks_for_prefix(out_dir, key_prefix):
+        seen.setdefault(path)
+    return list(seen)
+
+
+def _read_blocks(spark: SparkSession, blocks: list[tuple[str, int, int]]) -> DataFrame:
+    """Distributed ranged read of index blocks: each task seeks to its
+    block's offset, reads exactly ``length`` bytes and decompresses one
+    gzip member (length -1 = rest of file, the legacy whole-shard
+    entry). On object storage the same slice is one ranged GET. Returns
+    (value: string) lines for :func:`_parse_cdx_values`."""
+    import gzip as _gzip
+
+    spec = spark.createDataFrame(blocks, "path string, offset long, length long")
+    spec = spec.repartition(
+        min(len(blocks), spark.sparkContext.defaultParallelism), "path", "offset"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[str] = []
+            for path, off, ln in zip(pdf["path"], pdf["offset"], pdf["length"]):
+                with open(path, "rb") as fh:
+                    fh.seek(int(off))
+                    blob = fh.read() if int(ln) < 0 else fh.read(int(ln))
+                if blob[:2] == b"\x1f\x8b":
+                    blob = _gzip.decompress(blob)
+                out.extend(blob.decode("utf-8").splitlines())
+            yield pd.DataFrame({"value": out})
+
+    return spec.mapInPandas(run, "value string")
 
 
 def cdx_lookup(
@@ -253,15 +361,16 @@ def cdx_lookup(
     """Prefix lookup against a written CDX index — e.g.
     ``cdx_lookup(spark, d, "com,example)")`` for every capture of
     example.com (subdomains included: ``"com,example"``). cluster.idx
-    prunes to the shards whose key range intersects the prefix, so the
-    scan cost is O(matching shards), not O(index) — the distributed
+    prunes to the BLOCKS whose key range intersects the prefix and each
+    matching block is a ranged read of its own gzip member, so the cost
+    is O(matching blocks), not O(shard) or O(index) — the distributed
     analogue of the wayback binary search. Returns the same shape as
     :func:`read_cdx`, filtered.
     """
-    shards = _shards_for_prefix(out_dir, key_prefix)
-    if not shards:
+    blocks = _blocks_for_prefix(out_dir, key_prefix)
+    if not blocks:
         return read_cdx(spark, os.path.join(out_dir, "cdx-*")).where(F.lit(False))
-    return read_cdx(spark, shards).where(
+    return _parse_cdx_values(_read_blocks(spark, blocks)).where(
         F.col("urlkey").startswith(key_prefix)
     )
 

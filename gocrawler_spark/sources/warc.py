@@ -297,6 +297,8 @@ def write_warc(
     gzip_members: bool = True,
     prefix: str = "part",
     per_record_index: bool = False,
+    warcinfo: bool = False,
+    request_records: bool = False,
 ) -> DataFrame:
     """Pages DataFrame -> Common-Crawl-shaped WARC segment files, one
     file per partition, written EXECUTOR-side (no driver collect).
@@ -329,6 +331,18 @@ def write_warc(
     (offset, length) slice is a self-contained gzip member, i.e. the
     exact ranged-GET property Common Crawl's cdx index relies on. Feed
     these rows to :func:`gocrawler_spark.sources.cdx.write_cdx`.
+
+    Real CC segments carry two more record types, both opt-in here:
+    ``warcinfo=True`` opens each segment with one ``WARC-Type: warcinfo``
+    record (application/warc-fields body naming the writer + the
+    segment via WARC-Filename; WARC-Date pinned to epoch so identical
+    input stays byte-identical), and ``request_records=True`` precedes
+    every capture with a ``WARC-Type: request`` record holding the
+    minimal HTTP request (GET path, Host, the engine's UA) linked by
+    WARC-Concurrent-To. Neither record type is indexed — the index (and
+    CC's cdx) points at response/revisit records only; offsets account
+    for the extra bytes, and :func:`read_warc_binary` already skips
+    non-response types on read.
     """
     import base64
     import gzip as _gzip
@@ -369,18 +383,85 @@ def write_warc(
     ext = ".warc.gz" if gzip_members else ".warc"
 
     idx_cols = [f.name for f in WARC_INDEX_SCHEMA.fields]
+    if request_records:
+        # the UA the engine decorates fetches with (plans/crawl.py E18);
+        # lazy import — plans.crawl itself imports this module lazily
+        from gocrawler_spark.plans.crawl import USER_AGENT as _ua
+    else:
+        _ua = None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
         n_rec, n_bytes = 0, 0
         idx_rows = []
+        wrote_info = False
         with open(path, "wb") as fh:
             for pdf in batches:
                 for url, html, wdate, status, mime, prev in zip(
                     pdf["url"], pdf["html"], pdf["wdate"], pdf["status"],
                     pdf["mime"], pdf["prev"],
                 ):
+                    if warcinfo and not wrote_info:
+                        # one segment-opening warcinfo record (CC's
+                        # crawler provenance block); epoch date keeps
+                        # identical input -> byte-identical segments
+                        info = (
+                            "software: gocrawler-spark\r\n"
+                            "format: WARC File Format 1.0\r\n"
+                            f"isPartOf: {prefix}\r\n"
+                        ).encode()
+                        iid = hashlib.md5(
+                            f"{os.path.basename(path)}|warcinfo".encode(
+                                "utf-8", "replace"
+                            )
+                        ).hexdigest()
+                        irec = (
+                            "WARC/1.0\r\n"
+                            "WARC-Type: warcinfo\r\n"
+                            "WARC-Date: 1970-01-01T00:00:00Z\r\n"
+                            f"WARC-Filename: {os.path.basename(path)}\r\n"
+                            f"WARC-Record-ID: <urn:md5:{iid}>\r\n"
+                            "Content-Type: application/warc-fields\r\n"
+                            f"Content-Length: {len(info)}\r\n\r\n"
+                        ).encode() + info + b"\r\n\r\n"
+                        if gzip_members:
+                            irec = _gzip.compress(irec, mtime=0)
+                        fh.write(irec)
+                        n_bytes += len(irec)
+                        wrote_info = True
+                    if request_records:
+                        # the request leg of the capture, linked to its
+                        # response by WARC-Concurrent-To (CC pairs them
+                        # the same way); not indexed — cdx points at
+                        # response/revisit records only
+                        _, _, hostpath = url.partition("://")
+                        host, slash, rpath = hostpath.partition("/")
+                        http_req = (
+                            f"GET /{rpath if slash else ''} HTTP/1.1\r\n"
+                            f"Host: {host}\r\n"
+                            f"User-Agent: {_ua}\r\n\r\n"
+                        ).encode()
+                        rid_resp = hashlib.md5(
+                            f"{url}|{wdate}".encode("utf-8", "replace")
+                        ).hexdigest()
+                        qid = hashlib.md5(
+                            f"{url}|{wdate}|request".encode("utf-8", "replace")
+                        ).hexdigest()
+                        qrec = (
+                            "WARC/1.0\r\n"
+                            "WARC-Type: request\r\n"
+                            f"WARC-Target-URI: {url}\r\n"
+                            f"WARC-Date: {wdate or '1970-01-01T00:00:00Z'}\r\n"
+                            f"WARC-Record-ID: <urn:md5:{qid}>\r\n"
+                            f"WARC-Concurrent-To: <urn:md5:{rid_resp}>\r\n"
+                            "Content-Type: application/http; msgtype=request\r\n"
+                            f"Content-Length: {len(http_req)}\r\n\r\n"
+                        ).encode() + http_req + b"\r\n\r\n"
+                        if gzip_members:
+                            qrec = _gzip.compress(qrec, mtime=0)
+                        fh.write(qrec)
+                        n_bytes += len(qrec)
                     body = bytes(html) if html is not None else b""
                     digest = "sha1:" + base64.b32encode(
                         hashlib.sha1(body).digest()

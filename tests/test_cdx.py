@@ -309,3 +309,139 @@ def _gunzip_concat(d):
         from gocrawler_spark.sources.warc import _gunzip_members
         out.append(_gunzip_members(b))
     return b"".join(out)
+
+
+def test_cdx_block_granular_point_lookup(spark, tmp_path):
+    """cluster.idx at block granularity: with block_size records per
+    gzip member, a point lookup's pruned byte ranges are a STRICT
+    subset of the matching shard — O(block), not O(shard) — and the
+    results equal the full-scan filter."""
+    from gocrawler_spark.sources.cdx import _blocks_for_prefix
+
+    rows, df = _pages(spark, 60)
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    records = write_warc(df.repartition(4), str(warc_dir), per_record_index=True)
+    idx_dir = str(tmp_path / "index")
+    manifest = write_cdx(records, idx_dir, n_shards=2, block_size=5)
+    # multiple blocks per shard, tiling the shard's bytes exactly
+    for m in manifest:
+        assert len(m["blocks"]) >= 2
+        pos = 0
+        for b in m["blocks"]:
+            assert b["offset"] == pos and b["length"] > 0
+            pos += b["length"]
+        assert pos == os.path.getsize(m["path"])
+        assert sum(b["n_records"] for b in m["blocks"]) == m["n_records"]
+    key = "example,site03)"
+    blocks = _blocks_for_prefix(idx_dir, key)
+    assert blocks, "prefix must match at least one block"
+    # strict subset: the picked blocks of any shard cover less than it
+    by_path = {}
+    for path, off, ln in blocks:
+        assert ln > 0
+        by_path.setdefault(path, 0)
+        by_path[path] += ln
+    assert all(tot < os.path.getsize(p) for p, tot in by_path.items())
+    got = sorted(r["url"] for r in cdx_lookup(spark, idx_dir, key).collect())
+    want = sorted(
+        r["url"]
+        for r in read_cdx(spark, os.path.join(idx_dir, "cdx-*")).collect()
+        if r["urlkey"].startswith(key)
+    )
+    assert got == want and len(got) == 6  # 60 pages / 10 domains
+    # point query rides the same block pruning
+    target = rows[3][0]
+    assert [r["url"] for r in cdx_get(spark, idx_dir, target).collect()] == [target]
+
+
+def test_cdx_multimember_gzip_reads_whole_index(spark, tmp_path):
+    """Block-per-member shards are still one valid .gz stream: both
+    spark.read.text (read_cdx) and Python gzip see every record, and
+    bytes are deterministic across identical writes."""
+    rows, df = _pages(spark, 33)
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    records = write_warc(df.repartition(3), str(warc_dir), per_record_index=True)
+    d1, d2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    m1 = write_cdx(records, d1, n_shards=1, block_size=7)
+    m2 = write_cdx(records, d2, n_shards=1, block_size=7)
+    shard = m1[0]["path"]
+    assert open(shard, "rb").read() == open(m2[0]["path"], "rb").read()
+    with gzip.open(shard, "rt", encoding="utf-8") as fh:
+        lines = [line for line in fh]
+    assert len(lines) == len(rows) and lines == sorted(lines)
+    back = read_cdx(spark, os.path.join(d1, "cdx-*")).collect()
+    assert {r["url"] for r in back} == {u for (u, *_r) in rows}
+
+
+def test_cdx_lookup_legacy_cluster_idx(spark, tmp_path):
+    """Pre-block cluster.idx lines (4 fields, one per shard) still
+    route lookups: offset 0 / whole-file reads."""
+    rows, df = _pages(spark, 20)
+    warc_dir = tmp_path / "segments"
+    warc_dir.mkdir()
+    records = write_warc(df.repartition(2), str(warc_dir), per_record_index=True)
+    idx_dir = str(tmp_path / "index")
+    manifest = write_cdx(records, idx_dir, n_shards=2, block_size=4)
+    # rewrite cluster.idx in the legacy per-shard 4-field format
+    with open(os.path.join(idx_dir, "cluster.idx"), "w", encoding="utf-8") as fh:
+        for m in manifest:
+            fh.write(
+                f"{m['first_key']}\t{m['last_key']}\t"
+                f"{os.path.basename(m['path'])}\t{m['n_records']}\n"
+            )
+    key = "example,site03)"
+    got = {r["url"] for r in cdx_lookup(spark, idx_dir, key).collect()}
+    assert got == {u for (u, *_r) in rows if "site03.example" in u}
+
+
+def test_warc_full_cc_record_set(spark, tmp_path):
+    """warcinfo + request + response/revisit — the full Common Crawl
+    segment record set: one warcinfo opens each segment, every capture
+    gets a request record linked by WARC-Concurrent-To, the per-record
+    index still points exactly at the response/revisit records, and
+    read_warc_binary (which keeps responses only) round-trips the pages
+    untouched by the extra record types."""
+    from gocrawler_spark.sources.warc import read_warc_binary
+
+    rows, df = _pages(spark, 18)
+    wd = tmp_path / "segments"
+    wd.mkdir()
+    recs = write_warc(
+        df.repartition(2), str(wd), per_record_index=True,
+        warcinfo=True, request_records=True,
+    ).collect()
+    raw = _gunzip_concat(wd)
+    n_files = len(os.listdir(wd))
+    assert raw.count(b"WARC-Type: warcinfo") == n_files
+    assert raw.count(b"WARC-Type: request") == len(rows)
+    assert raw.count(b"WARC-Type: response") == len(rows)
+    assert b"Content-Type: application/warc-fields" in raw
+    assert b"software: gocrawler-spark" in raw
+    # requests carry the engine UA and link to their response record
+    from gocrawler_spark.plans.crawl import USER_AGENT
+    assert raw.count(f"User-Agent: {USER_AGENT}".encode()) == len(rows)
+    assert raw.count(b"WARC-Concurrent-To: <urn:md5:") == len(rows)
+    # the index has one row per CAPTURE (not per record) and each
+    # (offset, length) slice is exactly its response record
+    assert len(recs) == len(rows)
+    for r in recs:
+        headers, payload = fetch_warc_record(
+            str(wd), r["filename"], r["offset"], r["length"]
+        )
+        assert headers["warc-type"] == "response"
+        assert headers["warc-target-uri"] == r["url"]
+    # reader sees only the response pages
+    back = read_warc_binary(spark, os.path.join(str(wd), "part-*")).collect()
+    assert {b["url"] for b in back} == {u for (u, *_r) in rows}
+    # determinism: an identical second write is byte-identical
+    wd2 = tmp_path / "segments2"
+    wd2.mkdir()
+    write_warc(
+        df.repartition(2), str(wd2), per_record_index=True,
+        warcinfo=True, request_records=True,
+    ).collect()
+    assert sorted(os.listdir(wd)) == sorted(os.listdir(wd2))
+    for f in sorted(os.listdir(wd)):
+        assert open(wd / f, "rb").read() == open(wd2 / f, "rb").read()
