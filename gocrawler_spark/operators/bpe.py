@@ -57,28 +57,110 @@ def word_counts(corpus: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _merge_fold(sym_col, a: str, b: str):
-    """Rewrite a symbol array merging adjacent (a, b) -> a+b, greedy
-    left-to-right non-overlapping (a merged symbol never re-merges with
-    the next element in the same pass) — Sennrich's update rule."""
-    return F.aggregate(
-        sym_col,
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a))
-            & (s == F.lit(b)),
-            F.concat(
+def _merge_fold(sym_col, pairs: list[tuple[str, str]]):
+    """Rewrite a symbol array merging adjacent (a, b) -> a+b for every
+    pair in ``pairs``, greedy left-to-right non-overlapping (a merged
+    symbol never re-merges with the next element in the same pass) —
+    Sennrich's update rule. With multiple pairs the single pass equals
+    applying them sequentially BECAUSE the batch selector only admits
+    symbol-disjoint pairs (no shared members, no produced-symbol
+    collisions), so no two pairs' merge sites can overlap or abut."""
+
+    def step(acc, s):
+        branch = None
+        for a, b in pairs:
+            cond = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b))
+            )
+            merged = F.concat(
                 F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
-    )
+            )
+            branch = (
+                F.when(cond, merged) if branch is None else branch.when(cond, merged)
+            )
+        return branch.otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(sym_col, F.array().cast("array<string>"), step)
+
+
+def _select_batch(
+    rows: list, list_exhausted: bool, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """Pick the longest prefix of the total-ordered pair list (count
+    desc, left asc, right asc) that provably yields the IDENTICAL merge
+    sequence as one-at-a-time greedy — the fastBPE batching trick made
+    exact. Driver-side over ≤ top-K collected rows (bounded metadata).
+
+    Admission: a candidate is rejected (ending the prefix) if it shares
+    a symbol with an accepted pair, if one of its symbols equals an
+    accepted pair's concatenation (that merge could boost or create it
+    mid-batch), or if its concatenation equals an accepted symbol (its
+    own application could feed an earlier pair's sites in the shared
+    fold pass).
+
+    Why the kept prefix equals sequential greedy, case by case, at
+    sequential step j (merges 1..j-1 applied):
+    - old pairs disjoint from the batch: counts invariant; they sort
+      after p_j (the scan accepted everything before the break), so
+      p_j wins even on count ties (tie-break order is preserved).
+    - old pairs sharing a symbol with an applied merge: merges only
+      DECREASE their counts, and they sorted after p_j to begin with.
+    - NEW pairs (prev, a_i b_i), (a_i b_i, next), (a_i b_i, a_i b_i)
+      (and multi-merge variants like (a_1 b_1, a_2 b_2)): every
+      occurrence comes from an occurrence of a PROGENITOR adjacency —
+      a pair r with r.y == a_i (site "...prev a_i b_i") or
+      r.x == b_i (site "a_i b_i next..."), which conflicts with merge
+      i — so its count is bounded by conf_i = the max original count
+      among such progenitors. A new pair's tie-break name vs p_j is
+      unpredictable, so p_j is kept only if c_j > max_{i<j} conf_i —
+      strictly, killing ties. Pairs merely SHARING a symbol without
+      being progenitors ((a_i, next), (prev, b_i)) create nothing and
+      don't enter conf_i.
+    conf_i scans the sorted non-accepted rows; when the collected list
+    was truncated, the last seen count bounds every unseen progenitor
+    the same way."""
+    accepted: list[tuple[str, str, int]] = []
+    syms: set[str] = set()
+    produced: set[str] = set()
+    brk = len(rows)
+    for idx, r in enumerate(rows):
+        x, y, c = r["x"], r["y"], int(r["c"])
+        if (
+            c < min_pair_count
+            or x in syms or y in syms
+            or x in produced or y in produced
+            or (x + y) in syms
+        ):
+            brk = idx
+            break
+        accepted.append((x, y, c))
+        syms.update((x, y))
+        produced.add(x + y)
+    tail = rows[brk:]
+    unseen = int(rows[-1]["c"]) if (rows and not list_exhausted) else -1
+    kept: list[tuple[str, str]] = []
+    running = -1  # max conf_i over already-kept pairs
+    for x, y, c in accepted:
+        if c <= running:
+            break
+        kept.append((x, y))
+        conf = unseen
+        for r in tail:  # sorted desc: first progenitor hit is the max
+            if r["y"] == x or r["x"] == y:
+                conf = max(conf, int(r["c"]))
+                break
+        running = max(running, conf)
+    return kept if kept else [(rows[0]["x"], rows[0]["y"])]
 
 
 def learn_bpe(
     words: DataFrame,
     n_merges: int,
     min_pair_count: int = 2,
+    batch_max: int = 16,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to `n_merges` BPE merges from a (word, count) table.
 
@@ -86,21 +168,32 @@ def learn_bpe(
     with its final symbol segmentation (word, sym: array<string>,
     count). Stops early when no pair reaches `min_pair_count`.
 
-    Each iteration runs one argmax action over the vocab-sized pair
-    table; the symbol rewrite is a JVM fold and the table is
-    localCheckpoint'd so lineage stays depth-1 across merges.
+    Each PASS runs one top-K action over the vocab-sized pair table and
+    applies up to ``batch_max`` merges in a single fold rewrite — only
+    pairs whose one-at-a-time greedy selection is provable from the
+    collected counts (see :func:`_select_batch`), so the merge sequence
+    is bit-identical to ``batch_max=1`` while the driver-synchronous
+    job count drops from O(n_merges) toward O(n_merges / batch). A
+    production 30-50k-merge vocab is driver-latency-bound without this.
+    The symbol rewrite is a JVM fold and the table is localCheckpoint'd
+    so lineage stays depth-1 across passes. Pass ``stats={}`` to get
+    the pass count back (``stats['passes']``).
     """
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
+    if batch_max < 1:
+        raise ValueError("batch_max must be >= 1")
     vocab = words.select(
         "word",
         _char_syms(F.col("word")).alias("sym"),
         F.col("count").cast("long").alias("count"),
     ).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    passes = 0
+    while len(merges) < n_merges:
+        top_k = max(4 * batch_max, batch_max + 8)
         n = F.greatest(F.size("sym") - 1, F.lit(0))
-        pair_rows = (
+        pair_df = (
             vocab.select(
                 "count",
                 F.explode(
@@ -113,17 +206,50 @@ def learn_bpe(
             )
             .groupBy("p.x", "p.y")
             .agg(F.sum("count").alias("c"))
+        )
+        pair_rows = (
+            pair_df
             .orderBy(F.col("c").desc(), F.col("x").asc(), F.col("y").asc())
-            .limit(1)
+            .limit(top_k)
             .collect()
         )
         if not pair_rows or pair_rows[0]["c"] < min_pair_count:
             break
-        a, b = pair_rows[0]["x"], pair_rows[0]["y"]
-        merges.append((a, b))
+        batch = _select_batch(
+            pair_rows, len(pair_rows) < top_k, min_pair_count
+        )[: min(batch_max, n_merges - len(merges))]
+        if len(batch) > 1:
+            # airtight collision probe against the FULL pair table (the
+            # top-K window can't see it): if a batch pair's produced
+            # string a+b already exists as a symbol adjacent to anything
+            # (possible when two historic merges concatenate to the same
+            # string), applying the batch could BOOST that old pair's
+            # count mid-batch and sequential greedy might pick it — so
+            # the batch is cut before the first such pair. One
+            # metadata-scale job per pass, only when batching.
+            concats = [a + b for a, b in batch]
+            colliding = {
+                s
+                for r in pair_df.where(
+                    F.col("x").isin(concats) | F.col("y").isin(concats)
+                )
+                .select("x", "y")
+                .collect()
+                for s in (r["x"], r["y"])
+                if s in set(concats)
+            }
+            if colliding:
+                cut = next(
+                    i for i, (a, b) in enumerate(batch) if a + b in colliding
+                )
+                batch = batch[:cut] if cut > 0 else batch[:1]
+        merges.extend((a, b) for a, b in batch)
         vocab = vocab.select(
-            "word", _merge_fold(F.col("sym"), a, b).alias("sym"), "count"
+            "word", _merge_fold(F.col("sym"), list(batch)).alias("sym"), "count"
         ).localCheckpoint()
+        passes += 1
+    if stats is not None:
+        stats["passes"] = passes
     return merges, vocab
 
 

@@ -227,3 +227,58 @@ def test_semdedup_cell_cap_matches_unguarded_on_skewed_corpus(spark):
     assert guarded == bare
     dense = {(i, j) for i in range(100) for j in range(100) if i < j}
     assert dense <= {(a, b) for a, b, _, _ in guarded}
+
+
+# ---------- batched merges (fastBPE trick, made exact) ----------
+
+BIG_CORPUS = [
+    (i, " ".join(
+        w for j in range(6)
+        for w in ("alpha bravo charlie delta echo foxtrot golf hotel "
+                  "india juliet kilo lima mike november oscar papa "
+                  "quebec romeo sierra tango uniform victor whiskey "
+                  "xray yankee zulu").split()[(i + j) % 26: (i + j) % 26 + 7]
+    ))
+    for i in range(40)
+]
+
+
+def test_batched_bpe_identical_to_sequential_and_reference(spark):
+    """batch_max>1 must give the bit-identical merge SEQUENCE (not just
+    set) as one-at-a-time greedy AND the pure-Python Sennrich reference,
+    in strictly fewer driver-synchronous passes."""
+    docs = spark.createDataFrame(BIG_CORPUS, "doc_id long, text string")
+    wc = word_counts(docs).localCheckpoint()
+    n = 48
+    seq_stats, bat_stats = {}, {}
+    seq_merges, seq_vocab = learn_bpe(wc, n_merges=n, batch_max=1, stats=seq_stats)
+    bat_merges, bat_vocab = learn_bpe(wc, n_merges=n, batch_max=16, stats=bat_stats)
+    assert bat_merges == seq_merges and len(seq_merges) == n
+    ref_merges, ref_vocab = _ref_learn_bpe(
+        _ref_word_counts([t for _, t in BIG_CORPUS]), n
+    )
+    assert bat_merges == ref_merges
+    got = {r["word"]: r["sym"] for r in bat_vocab.collect()}
+    for w, sym in ref_vocab.items():
+        assert got[w] == sym, w
+    # the whole point: fewer driver-synchronous passes. Exact greedy
+    # BPE is partly chain-sequential (each merge's product is often the
+    # next argmax, so no batch can contain it) — the win is bounded by
+    # the corpus's chain structure, hence < 3/4 here rather than 1/16.
+    assert seq_stats["passes"] == n
+    assert bat_stats["passes"] < 0.75 * n
+
+
+def test_batched_bpe_chained_merges_stay_exact(spark):
+    """A corpus engineered so the top pairs CHAIN (each merge's product
+    feeds the next-best pair): the batch selector must shrink to one
+    merge per pass rather than mis-order, and still match the
+    reference."""
+    rows = [(0, "a b c d " * 50), (1, "a b " * 30), (2, "x y " * 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    merges, _ = learn_bpe(word_counts(docs), n_merges=6, batch_max=16, stats=stats)
+    ref_merges, _ = _ref_learn_bpe(
+        _ref_word_counts([t for _, t in rows]), 6
+    )
+    assert merges == ref_merges
