@@ -536,12 +536,81 @@ def embedding_cosine_dups(
     )
 
 
+def _rolling_window_grams(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """O(n)-per-doc Rabin-Karp window hashes — the long-document path
+    of ExactSubstr. The codegen path hashes k tokens per position
+    (O(n·k) bytes); here each doc is hashed once: per-token crc32,
+    then every k-window's polynomial hash comes from wrapping-uint64
+    prefix sums (H_i = B^{i+k-1} · (Q_{i+k-1} − Q_{i−1}) with
+    Q_m = Σ t_j·B^{−j}; B odd ⟹ invertible mod 2^64), fully
+    numpy-vectorized inside mapInPandas — no Python loop over
+    positions. Hash VALUES differ from the codegen xxhash64 (a rolling
+    xxhash doesn't exist), but dedup only consumes hash EQUALITY, so
+    the resulting spans are identical absent collisions —
+    differential-tested. Tokenization mirrors the JVM split
+    (ASCII \\s+ with empties dropped) so positions line up."""
+    import re
+    import zlib
+
+    import numpy as np
+
+    b_int = 0x9E3779B97F4A7C15
+    binv_int = pow(b_int, -1, 1 << 64)
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    schema = f"{id_col} long, pos int, h bigint"
+
+    def run(batches: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_pos, out_h = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split(text or "") if t]
+                n = len(toks)
+                if n < k:
+                    continue
+                t = np.array(
+                    [zlib.crc32(w.encode("utf-8")) for w in toks],
+                    dtype=np.uint64,
+                )
+                with np.errstate(over="ignore"):
+                    pow_binv = np.empty(n, dtype=np.uint64)
+                    pow_binv[0] = 1
+                    if n > 1:
+                        np.cumprod(
+                            np.full(n - 1, binv_int, dtype=np.uint64),
+                            out=pow_binv[1:],
+                        )
+                    pow_b = np.empty(n, dtype=np.uint64)
+                    pow_b[0] = 1
+                    if n > 1:
+                        np.cumprod(
+                            np.full(n - 1, b_int, dtype=np.uint64),
+                            out=pow_b[1:],
+                        )
+                    q = np.cumsum(t * pow_binv, dtype=np.uint64)
+                    hi = q[k - 1:]                      # Q_{i+k-1}
+                    lo = np.concatenate(
+                        (np.zeros(1, dtype=np.uint64), q[: n - k])
+                    )                                    # Q_{i-1}
+                    h = (pow_b[k - 1:] * (hi - lo)).astype(np.int64)
+                out_id.extend([did] * (n - k + 1))
+                out_pos.extend(range(n - k + 1))
+                out_h.extend(h.tolist())
+            yield pd.DataFrame({id_col: out_id, "pos": out_pos, "h": out_h})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def exact_substring_dedup(
     docs: DataFrame,
     k: int = 50,
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hasher: str = "codegen",
 ) -> DataFrame:
     """Exact substring dedup: remove every token span covered by a
     k-token window that occurs >= ``min_count`` times corpus-wide
@@ -562,11 +631,15 @@ def exact_substring_dedup(
     64-bit window hash — high-cardinality, skew-free, map-side
     partial counts. The explode emits one row per token position
     (~n rows/doc) and each hash reads k tokens (O(n*k) bytes hashed,
-    all whole-stage codegen; a Rabin-Karp rolling hash would be O(n)
-    but needs a per-doc sequential pass — at k=50 the codegen concat
-    wins on simplicity and stays embarrassingly parallel). The
-    dup-hash set joins back hash-to-hash; AQE broadcasts it when the
-    duplicated fraction is small (the common case). No Python UDFs.
+    all whole-stage codegen — the ``hasher="codegen"`` default, which
+    wins on simplicity at k=50 and stays embarrassingly parallel).
+    ``hasher="rolling"`` swaps the gram stage for the O(n)-per-doc
+    Rabin-Karp path (:func:`_rolling_window_grams`, numpy-vectorized
+    mapInPandas) — the right trade for long-document corpora where
+    n·k byte-hashing dominates; both paths produce identical spans
+    (differential-tested) since downstream consumes hash equality
+    only. The dup-hash set joins back hash-to-hash; AQE broadcasts it
+    when the duplicated fraction is small (the common case).
 
     Returns (id_col, text_dedup, n_tokens, n_tokens_dropped, n_spans);
     docs shorter than k tokens pass through untouched.
@@ -575,24 +648,29 @@ def exact_substring_dedup(
         raise ValueError(f"k must be >= 2, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if hasher not in ("codegen", "rolling"):
+        raise ValueError(f"hasher must be 'codegen' or 'rolling', got {hasher!r}")
     toks = docs.select(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("t"),
     )
-    # one (pos, hash) per window start; sequence(0, -1) descends, so guard
-    windows_expr = F.when(
-        F.size("t") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("t") - k),
-            lambda p: F.struct(
-                p.alias("pos"),
-                F.xxhash64(F.concat_ws("\x1f", F.slice("t", p + 1, k))).alias("h"),
+    if hasher == "rolling":
+        grams = _rolling_window_grams(docs, k, text_col, id_col)
+    else:
+        # one (pos, hash) per window start; sequence(0, -1) descends, so guard
+        windows_expr = F.when(
+            F.size("t") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - k),
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.xxhash64(F.concat_ws("\x1f", F.slice("t", p + 1, k))).alias("h"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
-    grams = toks.select(id_col, F.explode(windows_expr).alias("w")).select(
-        id_col, "w.pos", "w.h"
-    )
+        ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+        grams = toks.select(id_col, F.explode(windows_expr).alias("w")).select(
+            id_col, "w.pos", "w.h"
+        )
     dup_hashes = (
         grams.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= min_count).select("h")
     )

@@ -1064,3 +1064,59 @@ def test_gopher_quality_rules(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_exact_substring_rolling_hash_differential(spark):
+    """hasher='rolling' (O(n) Rabin-Karp mapInPandas) must produce the
+    IDENTICAL dedup output as the codegen O(n·k) path and the
+    independent reference — hash values differ, hash-equality structure
+    must not. Includes long docs (the rolling path's target), same-doc
+    repeats, unicode tokens, sub-k docs and empty docs."""
+    from gocrawler_spark.operators.dedup import (
+        _rolling_window_grams,
+        exact_substring_dedup,
+    )
+
+    boiler = " ".join(f"b{j}" for j in range(12))
+    long_doc = " ".join(f"w{j % 97}" for j in range(900)) + " " + boiler
+    rows = [
+        (0, "alpha beta gamma " + boiler + " delta epsilon"),
+        (1, "zeta eta " + boiler + " theta iota kappa " + boiler),
+        (2, long_doc),
+        (3, long_doc + " tail tokens differ here"),
+        (4, "x0 x1 x2 x3"),
+        (5, ""),
+        (6, "héllo wörld " * 8 + boiler),
+    ]
+    k, mc = 10, 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snap(df):
+        return {
+            r["doc_id"]: (r["text_dedup"], r["n_tokens"],
+                          r["n_tokens_dropped"], r["n_spans"])
+            for r in df.collect()
+        }
+
+    got_roll = snap(exact_substring_dedup(docs, k=k, min_count=mc, hasher="rolling"))
+    got_code = snap(exact_substring_dedup(docs, k=k, min_count=mc, hasher="codegen"))
+    assert got_roll == got_code
+    assert got_roll == _ref_exact_substring(rows, k, mc)
+    # rolling hash structure: equal windows hash equal, shifted windows
+    # don't collide, and every position is emitted
+    grams = _rolling_window_grams(docs, k, "text", "doc_id").collect()
+    per_doc = {}
+    for g in grams:
+        per_doc.setdefault(g["doc_id"], {})[g["pos"]] = g["h"]
+    n2 = len(rows[2][1].split())
+    assert set(per_doc[2]) == set(range(n2 - k + 1))
+    # docs 2 and 3 share their 900-token prefix: every shared window
+    # position hashes identically across docs
+    for p in range(0, 900 - k + 1):
+        assert per_doc[2][p] == per_doc[3][p]
+    # hash-equality structure matches token-window equality exactly on
+    # this corpus: distinct hashes == distinct token k-grams (doc 2 is
+    # periodic, so repeated windows MUST collide and distinct ones not)
+    toks2 = rows[2][1].split()
+    want_distinct = len({tuple(toks2[p:p + k]) for p in range(n2 - k + 1)})
+    assert len(set(per_doc[2].values())) == want_distinct
