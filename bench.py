@@ -438,15 +438,22 @@ def bench_cdx_index(spark):
     t0 = time.time()
     manifest = write_cdx(rows, out_dir, n_shards=CPUS)
     n_idx = sum(m["n_records"] for m in manifest)
+    t1 = time.time()
+    # block-pruned domain lookup (one domain out of 200): reads only
+    # the gzip members whose key range covers the prefix
     hits = cdx_lookup(spark, out_dir, "example,shop000)").count()
+    t_lookup = time.time() - t1
     dt = time.time() - t0
+    n_blocks = sum(len(m["blocks"]) for m in manifest)
     rows.unpersist()
     shutil.rmtree(out_dir, ignore_errors=True)
     return dt, {
         "records": n_rows,
         "indexed": n_idx,
         "shards": len(manifest),
+        "blocks": n_blocks,
         "lookup_hits": hits,
+        "lookup_sec": round(t_lookup, 3),
         "records_per_sec": round(n_idx / dt, 1),
     }
 
