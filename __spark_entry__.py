@@ -604,7 +604,51 @@ def q26(spark, sf):
     return ivf_topk_indexed(spark, path, cents, queries, k=5, nprobe=4)
 
 
-@_q("q27_embedding_neardup")  # rows-only: LSH-sketch blocking
+def _q27_oracle() -> str:
+    # replay the banded hyperplane LSH in DuckDB: the SAME deterministic
+    # Gaussian planes (RandomState(0xC0FFEE), identical stream prefix)
+    # are emitted as DOUBLE[] literals via repr() (shortest round-trip,
+    # bit-exact), the sign bits / band packing / bucket join / rounded
+    # exact-cosine verify are recomputed from scratch. 4 bands x 8 bits
+    # keeps the generated SQL compact; the operator's scale defaults
+    # (8x12) stay in operators/dedup.py.
+    import numpy as np
+
+    hp = np.random.RandomState(0xC0FFEE % (2**32)).randn(32, 64)
+    vals = ",".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ",".join(repr(float(x)) for x in hp[i])
+        )
+        for i in range(32)
+    )
+    return (
+        f"WITH planes(pid, p) AS (VALUES {vals}), "
+        "aug AS MATERIALIZED ("
+        " SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings"
+        " UNION ALL"
+        " SELECT vec_id + 1000000, cast(embedding AS DOUBLE[]) FROM embeddings"
+        "), bits AS ("
+        " SELECT a.vec_id, p.pid // 8 AS band,"
+        "  CASE WHEN list_dot_product(a.v, p.p) >= 0"
+        "   THEN 1 << (p.pid % 8) ELSE 0 END AS bit"
+        " FROM aug a CROSS JOIN planes p"
+        "), sk AS MATERIALIZED ("
+        " SELECT vec_id, band, cast(sum(bit) AS bigint) AS bsk"
+        " FROM bits GROUP BY vec_id, band"
+        "), cand AS ("
+        " SELECT DISTINCT x.vec_id AS a, y.vec_id AS b"
+        " FROM sk x JOIN sk y USING (band, bsk) WHERE x.vec_id < y.vec_id"
+        ") "
+        "SELECT cand.a, cand.b,"
+        " round(list_cosine_similarity(xa.v, xb.v), 6) AS cosine "
+        "FROM cand"
+        " JOIN aug xa ON xa.vec_id = cand.a"
+        " JOIN aug xb ON xb.vec_id = cand.b "
+        "WHERE round(list_cosine_similarity(xa.v, xb.v), 6) >= 0.95"
+    )
+
+
+@_q("q27_embedding_neardup", _q27_oracle())
 def q27(spark, sf):
     from gocrawler_spark.operators.dedup import embedding_cosine_dups
 
@@ -612,9 +656,13 @@ def q27(spark, sf):
         "embedding", F.col("embedding").cast("array<double>")
     )
     # random vectors have no organic near-dups: plant exact duplicates
-    # (vec_id + 10^6) and find them back through the sketch blocking
+    # (vec_id + 10^6) and find them back through the sketch blocking.
+    # 4 bands x 8 bits mirrors _q27_oracle (planted exact dups collide
+    # in every band, so recall on them is 1.0 at any banding).
     planted = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
-    return embedding_cosine_dups(emb.unionByName(planted), threshold=0.95)
+    return embedding_cosine_dups(
+        emb.unionByName(planted), threshold=0.95, n_bands=4, bits_per_band=8
+    )
 
 
 _SW = {
