@@ -480,23 +480,111 @@ def q46(spark, sf):
     )
 
 
-@_q("q22_sketch_near_pairs")  # rows-only: xxhash64 sketches have no DuckDB twin
+def _q22_oracle() -> str:
+    # replay BOTH hash sketches in DuckDB from first principles. The
+    # md5-prefix hash (first 15 hex chars as base-16 bigint) is the
+    # engine-portable 60-bit hash — ('0x'||substr(md5(x),1,15))::BIGINT
+    # in DuckDB equals conv(substring(md5(x),1,15),16,10) in Spark,
+    # bit-exact. Permutation constants and chunk bounds are imported
+    # from the operator module so the twin can never drift from it.
+    from gocrawler_spark.operators.dedup import _PRIME, _chunk_bounds, _perm_params
+
+    num_perm, bands, n, thr, max_h = 64, 16, 3, 0.85, 8
+    rpb = num_perm // bands
+    perms = _perm_params(num_perm)
+    h64 = "('0x' || substring(md5({x}),1,15))::BIGINT"
+    sig_aggs = ",".join(
+        f"min((h*{a}+{b})%{_PRIME}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_legs = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, [{ms}] AS bv FROM sig".format(
+            b=bi, ms=",".join(f"m{bi * rpb + j}" for j in range(rpb))
+        )
+        for bi in range(bands)
+    )
+    bit_aggs = ",".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(63)
+    )
+    sh_expr = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(63)
+    )
+    chunk_legs = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {c} AS chunk, (sh >> {off}) & {(1 << w) - 1} AS cv FROM shv"
+        for c, (off, w) in enumerate(_chunk_bounds(max_h + 1))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(CASE WHEN len(t) >= {n}
+      THEN list_transform(range(1, len(t)-{n - 2}), i -> array_to_string(t[i:i+{n - 1}], ' '))
+      ELSE [] END) AS gram FROM toks)
+), h AS (
+  SELECT doc_id, {h64.format(x='gram')} % {_PRIME} AS h FROM grams
+), sig AS (
+  SELECT doc_id, {sig_aggs} FROM h GROUP BY doc_id
+), bnd AS ({band_legs}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bnd x JOIN bnd y USING (band, bv) WHERE x.doc_id < y.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(*) AS inter FROM cand c
+  JOIN grams ga ON ga.doc_id = c.a
+  JOIN grams gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+  GROUP BY c.a, c.b
+), mh AS (
+  SELECT i.a, i.b, round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS measure
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {thr}
+), th AS (
+  SELECT doc_id, {h64.format(x='tok')} AS h
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+), bits AS (
+  SELECT doc_id, {bit_aggs} FROM th GROUP BY doc_id
+), shv AS (
+  SELECT doc_id, ({sh_expr})::BIGINT AS sh FROM bits
+), chunks AS ({chunk_legs}
+), scand AS (
+  SELECT DISTINCT x.doc_id AS a, x.sh AS ha, y.doc_id AS b, y.sh AS hb
+  FROM chunks x JOIN chunks y USING (chunk, cv) WHERE x.doc_id < y.doc_id
+), shp AS (
+  SELECT a, b, bit_count(xor(ha, hb))::DOUBLE AS measure
+  FROM scand WHERE bit_count(xor(ha, hb)) <= {max_h}
+)
+SELECT a, b, measure, 'minhash_lsh' AS sketch FROM mh
+UNION ALL
+SELECT a, b, measure, 'simhash' AS sketch FROM shp
+"""
+
+
+@_q("q22_sketch_near_pairs", _q22_oracle())
 def q22(spark, sf):
     # merged q22+q24 (round 4, second merge wave): BOTH hash-sketch
     # near-dup paths in one gate row — minhash-LSH band-blocked pairs
     # (exact-Jaccard-verified) and simhash pigeonhole-chunk pairs (incl.
     # the 63-bit JVM simhash aggregate, r2's q23). A bug in either
     # sketch changes this union's rows; per-path pytest pins stay
-    # (planted-pair regression tests in test_training_ops).
+    # (planted-pair regression tests in test_training_ops). Since r5
+    # the gate entry runs hash_fn="md5" (engine-portable 60-bit hash),
+    # which is what gives this row a full DuckDB oracle — the scale
+    # default stays xxhash64, pinned by the planted-pair tests.
     from gocrawler_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
 
     docs = _t(spark, sf, "documents")
-    mh = minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.85).select(
+    mh = minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, threshold=0.85, hash_fn="md5"
+    ).select(
         "a", "b",
         F.col("jaccard").cast("double").alias("measure"),
         F.lit("minhash_lsh").alias("sketch"),
     )
-    sh = simhash_near_pairs(docs, max_hamming=8).select(
+    sh = simhash_near_pairs(docs, max_hamming=8, hash_fn="md5").select(
         "a", "b",
         F.col("hamming").cast("double").alias("measure"),
         F.lit("simhash").alias("sketch"),

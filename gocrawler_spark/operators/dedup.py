@@ -274,6 +274,21 @@ def dedup_keep_canonical(
     return docs.join(losers, id_col, "left_anti")
 
 
+def _hash64(col, hash_fn: str):
+    """64-bit-ish token/ngram hash as a JVM expression.
+
+    ``xxhash64`` (default everywhere) is the scale path — one codegen
+    intrinsic. ``md5`` takes the first 15 hex chars of md5 as a base-16
+    bigint (< 2^60, always non-negative): slower, but DuckDB computes
+    the identical value (``('0x' || substring(md5(x),1,15))::BIGINT``),
+    which is what lets the q22 gate entry carry a real oracle."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def _perm_params(num_perm: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) per permutation (odd multipliers)."""
     params = []
@@ -290,12 +305,13 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures: shingle → xxhash64 → per-permutation min, all
     as JVM aggregate expressions (num_perm ``min()`` columns in one
     map-side-combinable groupBy). Returns (doc_id, sig array<long>)."""
     grams = token_ngrams(docs, n, text_col, id_col)
-    h = grams.select(id_col, F.pmod(F.xxhash64("ngram"), F.lit(_PRIME)).alias("h"))
+    h = grams.select(id_col, F.pmod(_hash64(F.col("ngram"), hash_fn), F.lit(_PRIME)).alias("h"))
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_PRIME))).alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_params(num_perm))
@@ -314,6 +330,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
@@ -324,7 +341,7 @@ def minhash_lsh_pairs(
     recall/precision never changes results, only cost."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, n, text_col, id_col)
+    sigs = minhash_signatures(docs, num_perm, n, text_col, id_col, hash_fn)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -353,14 +370,22 @@ def minhash_lsh_pairs(
     return _verify_pairs_exact(cands, grams, sizes, threshold, id_col)
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per doc: token xxhash64, per-bit sign sums as 64
     JVM aggregate expressions (map-side combine; no UDF).
 
-    Returns (doc_id, simhash long)."""
+    Returns (doc_id, simhash long). With ``hash_fn="md5"`` the token
+    hash carries 60 usable bits (bits 60-62 are constant-zero), which
+    weakens the sketch slightly — it exists for the DuckDB oracle twin,
+    not for scale runs."""
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _hash64(F.col("tok"), hash_fn))
     bit_aggs = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
@@ -452,11 +477,12 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs over documents: simhash() then
     chunk-blocked pairing with a pigeonhole recall guarantee derived
     from ``max_hamming`` (see simhash_pairs_from_hashes)."""
-    sh = simhash(docs, text_col, id_col)
+    sh = simhash(docs, text_col, id_col, hash_fn)
     return simhash_pairs_from_hashes(sh, max_hamming, id_col=id_col)
 
 

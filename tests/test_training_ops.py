@@ -185,6 +185,27 @@ def test_simhash_near_pairs(spark, docs):
     assert pairs[(0, 2)] == 0
 
 
+def test_sketches_md5_hash_path(spark, docs):
+    """The md5 hash_fn (q22's oracle-portable variant) must find the
+    planted identical pair through both sketches, and the md5 token
+    hash must stay within 60 bits (the engine-portable range)."""
+    from gocrawler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    lsh = {(r["a"], r["b"]) for r in
+           minhash_lsh_pairs(docs, threshold=0.5, hash_fn="md5").collect()}
+    assert (0, 2) in lsh  # identical docs share all bands under any hash
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, hash_fn="md5").collect()}
+    assert sh[0] == sh[2]
+    assert all(0 <= v < (1 << 60) for v in sh.values())
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_near_pairs(docs, 10, hash_fn="md5").collect()}
+    assert pairs[(0, 2)] == 0
+
+
 def test_simhash_pairs_recall_guarantee(spark):
     """Round-1 bug regression: a hamming-8 pair whose differing bits are
     spread 2-per-16-bit-chunk shares NO chunk under the old fixed 4x16
