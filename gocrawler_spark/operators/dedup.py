@@ -774,17 +774,27 @@ def _blocked_cell_pairs(assigned: DataFrame, cell_cap: int) -> DataFrame:
     of size <= cell_cap get g=1, which reduces to the plain self-join.
     """
     sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("_csz"))
-    if _LOG.isEnabledFor(logging.INFO):
-        h = sizes.agg(
-            F.max("_csz").alias("mx"),
-            F.avg("_csz").alias("avg"),
-            F.sum(F.when(F.col("_csz") > cell_cap, 1).otherwise(0)).alias("over"),
-            F.count("*").alias("cells"),
-        ).collect()[0]
-        _LOG.info(
-            "semdedup cell histogram: %d cells, max=%d avg=%.1f, %d over cap=%d",
-            h["cells"], h["mx"], h["avg"], h["over"], cell_cap,
+    # one metadata-scale agg over the checkpointed assignment decides the
+    # path: the common (unskewed) case pays NO row replication and no
+    # 3-key join — only skewed tables enter the triangle blocking
+    h = sizes.agg(
+        F.max("_csz").alias("mx"),
+        F.avg("_csz").alias("avg"),
+        F.sum(F.when(F.col("_csz") > cell_cap, 1).otherwise(0)).alias("over"),
+        F.count("*").alias("cells"),
+    ).collect()[0]
+    _LOG.info(
+        "semdedup cell histogram: %d cells, max=%d avg=%.1f, %d over cap=%d",
+        h["cells"], h["mx"] or 0, h["avg"] or 0.0, h["over"] or 0, cell_cap,
+    )
+    if (h["mx"] or 0) <= cell_cap:
+        a = assigned.select(
+            F.col("_id").alias("a"), F.col("_v").alias("_va"), "centroid_id"
         )
+        b = assigned.select(
+            F.col("_id").alias("b"), F.col("_v").alias("_vb"), "centroid_id"
+        )
+        return a.join(b, "centroid_id").where(F.col("a") < F.col("b"))
     blocks = sizes.select(
         "centroid_id",
         F.ceil(F.col("_csz") / cell_cap).cast("int").alias("_g"),

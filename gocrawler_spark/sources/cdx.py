@@ -205,23 +205,31 @@ def write_cdx(
 
         try:
             for pdf in batches:
-                for urlkey, line in zip(pdf["urlkey"], pdf["line"]):
-                    if urlkey is None:  # unkeyable url — see cdx_lines
-                        continue
+                pdf = pdf[pdf["urlkey"].notna()]  # unkeyable — see cdx_lines
+                keys = pdf["urlkey"].to_numpy()
+                txt = pdf["line"].to_numpy()
+                i, n_rows = 0, len(keys)
+                # block-aligned chunks: ONE join + ONE write per chunk
+                # (a per-record Python write loop costs ~3x the whole
+                # index build — measured at 2M records)
+                while i < n_rows:
+                    take = min(block_size - blk_n, n_rows - i)
                     if blk_n == 0:
                         blk_off = raw.tell()
-                        blk_first = urlkey
+                        blk_first = keys[i]
                         if gzip_shards:
                             # mtime=0, no filename field: identical
                             # input -> byte-identical shard
                             member = _gzip.GzipFile(
                                 fileobj=raw, mode="wb", mtime=0
                             )
+                    chunk = "\n".join(txt[i:i + take]) + "\n"
                     (member if member is not None else raw).write(
-                        line.encode("utf-8") + b"\n"
+                        chunk.encode("utf-8")
                     )
-                    blk_last = urlkey
-                    blk_n += 1
+                    blk_last = keys[i + take - 1]
+                    blk_n += take
+                    i += take
                     if blk_n >= block_size:
                         close_block()
             close_block()
