@@ -25,7 +25,11 @@ simulator (tests compare the two byte-for-byte).
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from html.parser import HTMLParser
+from operator import attrgetter
+
+_NODE_ORDER = attrgetter("order")
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
@@ -33,9 +37,22 @@ VOID_ELEMENTS = frozenset(
 
 
 class Node:
-    """One DOM node: element or text."""
+    """One DOM node: element or text.
 
-    __slots__ = ("tag", "attrs", "children", "parent", "is_text", "data", "order")
+    ``order`` is the node's position in document order (assigned during
+    parsing); ``end`` is the highest ``order`` inside its subtree, so
+    "m is a descendant of n" is exactly ``n.order < m.order <= n.end``.
+    Parsed roots additionally carry ``tag_index`` (tag → nodes in
+    document order) so selections scan candidates of the right tag via
+    a binary-searched order interval instead of walking the subtree —
+    the walk was the extraction kernel's hottest loop, and the saving
+    grows with page size (real crawled pages are 10-100x the fixtures).
+    """
+
+    __slots__ = (
+        "tag", "attrs", "children", "parent", "is_text", "data", "order",
+        "end", "tag_index",
+    )
 
     def __init__(self, tag="", attrs=None, parent=None, is_text=False, data="", order=0):
         self.tag = tag
@@ -45,6 +62,7 @@ class Node:
         self.is_text = is_text
         self.data = data
         self.order = order
+        self.end = order
 
     # -- helpers ---------------------------------------------------------
     def classes(self):
@@ -60,12 +78,16 @@ class Node:
 
     def text(self):
         """goquery ``.Text()``: all text-node data, document order, raw."""
-        parts = []
         if self.is_text:
-            parts.append(self.data)
-        for n in self.iter_subtree():
+            return self.data  # text nodes have no children
+        parts = []
+        stack = list(reversed(self.children))
+        while stack:  # inlined iter_subtree: no generator frames
+            n = stack.pop()
             if n.is_text:
                 parts.append(n.data)
+            elif n.children:
+                stack.extend(reversed(n.children))
         return "".join(parts)
 
     def __repr__(self):  # pragma: no cover - debugging aid
@@ -108,6 +130,27 @@ class _DomBuilder(HTMLParser):
             self._push(Node(is_text=True, data=data))
 
 
+def _index_document(root):
+    """Post-hoc subtree-end + tag-index computation (generic path for
+    DOMs not built by :func:`parse_html`, which maintains both inline).
+    Iterative so pathological nesting can't hit the recursion limit."""
+    idx = {}
+    walk = [root]
+    pre = []  # document order
+    while walk:
+        n = walk.pop()
+        pre.append(n)
+        if n.children:
+            walk.extend(reversed(n.children))
+    for n in pre:
+        if not n.is_text and n is not root:
+            idx.setdefault(n.tag, []).append(n)
+    for n in reversed(pre):  # children before parents
+        n.end = n.children[-1].end if n.children else n.order
+    root.tag_index = idx
+    return root
+
+
 def parse_html_stdlib(html):
     """html.parser-backed parse — the semantic reference for
     :func:`parse_html`; kept for the differential parity test."""
@@ -116,7 +159,7 @@ def parse_html_stdlib(html):
     b = _DomBuilder()
     b.feed(html)
     b.close()
-    return b.root
+    return _index_document(b.root)
 
 
 # -- fast tokenizer ---------------------------------------------------------
@@ -145,6 +188,15 @@ _RAWTEXT_END = {
     t: re.compile(r"</\s*" + t, re.IGNORECASE) for t in ("script", "style")
 }
 
+# Raw attr-string → parsed dict. Templated pages repeat the same class/
+# attr strings on thousands of nodes, so the regex attr parse is paid
+# once per distinct string. Parsed dicts are SHARED across nodes with
+# identical raw attr text — DOM consumers treat ``attrs`` as read-only
+# (nothing in htmlmini/extract mutates them). Bounded for long-running
+# executor processes.
+_ATTRS_CACHE: dict = {}
+_ATTRS_CACHE_MAX = 65536
+
 
 def parse_html(html):
     """Parse an HTML string (or bytes, UTF-8) into a DOM root node."""
@@ -154,11 +206,14 @@ def parse_html(html):
     root = Node(tag="#document")
     stack = [root]
     order = 0
+    tag_index: dict = {}
+    root.tag_index = tag_index
 
     def push(node):
         nonlocal order
         order += 1
         node.order = order
+        node.end = order  # leaves keep this; elements updated at close
         parent = stack[-1]
         node.parent = parent
         parent.children.append(node)
@@ -173,7 +228,12 @@ def parse_html(html):
             break
         if lt > i:
             chunk = s[i:lt]
-            push(Node(is_text=True, data=_unescape(chunk) if "&" in chunk else chunk))
+            # inlined push: text nodes are the most frequent node kind
+            order += 1
+            nd = Node(is_text=True, data=_unescape(chunk) if "&" in chunk else chunk, order=order)
+            parent = stack[-1]
+            nd.parent = parent
+            parent.children.append(nd)
         c = s[lt + 1 : lt + 2]
         if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
             m = _START_RE.match(s, lt)
@@ -182,18 +242,35 @@ def parse_html(html):
                 i = lt + 1
                 continue
             tag = m.group(1).lower()
-            attrs = {}
-            if m.group(2):
-                for am in _ATTR_RE.finditer(m.group(2)):
-                    v = am.group(2)
-                    if v is None:
-                        v = am.group(3)
-                    if v is None:
-                        v = am.group(4)
-                    if v is None:
-                        v = ""
-                    attrs[am.group(1).lower()] = _unescape(v) if "&" in v else v
-            node = push(Node(tag=tag, attrs=attrs))
+            raw_attrs = m.group(2)
+            if raw_attrs:
+                attrs = _ATTRS_CACHE.get(raw_attrs)
+                if attrs is None:
+                    attrs = {}
+                    for am in _ATTR_RE.finditer(raw_attrs):
+                        v = am.group(2)
+                        if v is None:
+                            v = am.group(3)
+                        if v is None:
+                            v = am.group(4)
+                        if v is None:
+                            v = ""
+                        attrs[am.group(1).lower()] = _unescape(v) if "&" in v else v
+                    if len(_ATTRS_CACHE) >= _ATTRS_CACHE_MAX:
+                        _ATTRS_CACHE.clear()
+                    _ATTRS_CACHE[raw_attrs] = attrs
+            else:
+                attrs = None
+            order += 1
+            node = Node(tag=tag, attrs=attrs, order=order)
+            parent = stack[-1]
+            node.parent = parent
+            parent.children.append(node)
+            lst = tag_index.get(tag)
+            if lst is None:
+                tag_index[tag] = [node]
+            else:
+                lst.append(node)
             self_closing = bool(m.group(3))
             i = m.end()
             if tag in _RAWTEXT_END and not self_closing:
@@ -204,7 +281,7 @@ def parse_html(html):
                 if em.start() > i:
                     # raw content: charrefs NOT converted
                     push(Node(is_text=True, data=s[i : em.start()]))
-                stack.pop()
+                stack.pop().end = order
                 gt = s.find(">", em.start())
                 i = n if gt < 0 else gt + 1
             elif tag not in VOID_ELEMENTS and not self_closing:
@@ -215,6 +292,8 @@ def parse_html(html):
                 tag = m.group(1).lower()
                 for k in range(len(stack) - 1, 0, -1):
                     if stack[k].tag == tag:
+                        for nd in stack[k:]:
+                            nd.end = order
                         del stack[k:]
                         break
                 i = m.end()
@@ -249,6 +328,8 @@ def parse_html(html):
         else:
             push(Node(is_text=True, data="<"))
             i = lt + 1
+    for nd in stack:  # still-open elements (and the root) span to EOF
+        nd.end = order
     return root
 
 
@@ -380,18 +461,73 @@ def _match_compound(node, comp):
     return True
 
 
+def _doc_root(context):
+    r = context
+    p = r.parent
+    while p is not None:
+        r = p
+        p = r.parent
+    return r
+
+
+def _filter_candidates(cand, comp):
+    """Apply the non-tag parts of a compound to tag-index candidates."""
+    cid, classes, cattrs = comp["id"], comp["classes"], comp["attrs"]
+    if cid is None and not classes and not cattrs:
+        return list(cand)
+    out = []
+    for n in cand:
+        ok = cid is None or n.attrs.get("id") == cid
+        if ok and classes:
+            cls = set(n.classes())
+            ok = all(c in cls for c in classes)
+        if ok and cattrs:
+            for attr, op, val in cattrs:
+                if (
+                    attr not in n.attrs
+                    or (op == "=" and n.attrs[attr] != val)
+                    or (op == "*=" and val not in n.attrs[attr])
+                ):
+                    ok = False
+                    break
+        if ok:
+            out.append(n)
+    return out
+
+
+def _subtree_slice(cand, context, root):
+    """Candidates (document-ordered) restricted to descendants of context."""
+    if context is root:
+        return cand
+    lo = bisect_right(cand, context.order, key=_NODE_ORDER)
+    hi = bisect_right(cand, context.end, key=_NODE_ORDER)
+    return cand[lo:hi]
+
+
 def select(context, selector):
     """All descendants of *context* matching *selector*, document order."""
     groups = selector if isinstance(selector, list) else parse_selector(selector)
+    root = _doc_root(context)
+    try:
+        idx = root.tag_index
+    except AttributeError:
+        idx = None  # manually assembled tree: subtree-walk paths below
     # fast path: one group of one compound ("div.x", "#id", "a" — the
     # majority of the reference's selectors) is just "any descendant
-    # matching the compound"; skips the per-node group-walk machinery
+    # matching the compound"
     if len(groups) == 1 and len(groups[0]) == 1:
         comp = groups[0][0][1]
-        # hoist the compound's fields and inline the match: most nodes
-        # reject on the tag compare, so the common case is one attribute
-        # load + one string compare with no call frame
         tag, cid = comp["tag"], comp["id"]
+        if idx is not None and tag is not None:
+            # indexed path: candidates of the right tag via one dict
+            # lookup + binary-searched order interval; no subtree walk
+            cand = idx.get(tag)
+            if not cand:
+                return []
+            return _filter_candidates(_subtree_slice(cand, context, root), comp)
+        # walk fallback — hoist the compound's fields and inline the
+        # match: most nodes reject on the tag compare, so the common
+        # case is one attribute load + one string compare, no call frame
         classes, cattrs = comp["classes"], comp["attrs"]
         out = []
         stack = list(reversed(context.children))
@@ -415,6 +551,21 @@ def select(context, selector):
                     out.append(n)
             if n.children:
                 stack.extend(reversed(n.children))
+        return out
+    # general path (combinators / comma groups): a match's TARGET node
+    # always satisfies the group's last compound, so when every last
+    # compound names a tag the index prunes the candidate set the same
+    # way before the ancestor-chain check runs
+    last_tags = [steps[-1][1]["tag"] for steps in groups]
+    if idx is not None and all(t is not None for t in last_tags):
+        out, seen = [], set()
+        for steps, t in zip(groups, last_tags):
+            for n in _subtree_slice(idx.get(t, ()), context, root):
+                if id(n) not in seen and _match_node_against_group(n, steps, context):
+                    seen.add(id(n))
+                    out.append(n)
+        if len(groups) > 1:
+            out.sort(key=_NODE_ORDER)  # restore document order across groups
         return out
     out, seen = [], set()
     for n in context.iter_subtree():

@@ -251,3 +251,53 @@ def test_fast_parser_matches_stdlib():
     for url, html, _prof in parity_pages():
         check(html, url)
     check(PROXY_LIST_HTML, "proxy")
+
+
+def test_indexed_select_matches_subtree_walk():
+    """The tag-index select path (order-interval candidate pruning) must
+    return the exact node sequence the subtree walk returns, for every
+    selector the extractor uses, from both root and nested contexts.
+    Dropping ``tag_index`` from a parsed root forces the walk, so the
+    two engines run over the identical DOM."""
+    from gocrawler_spark.datagen import PROXY_LIST_HTML, crawl_corpus, parity_pages
+    from gocrawler_spark.htmlmini import parse_html, select
+
+    selectors = [
+        "a", "div", "span", "*", "nosuchtag",
+        "div.detail", "div.actions", "div#tabs-res",
+        "span.preciolistaNewDet, span.precioofertaNewDet",
+        'meta[name="keywords"]', 'meta[property="og:title"]',
+        "div#centerCol", "span.product-title-word-break",
+        "div#bylineInfo_feature_div a", "i.a-icon.a-icon-star",
+        "div#detailBullets_feature_div ul.a-unordered-list li span",
+        'table.prodDetTable[id*="productDetails_detailBullets"]',
+        "i.review-rating span.a-icon-alt", 'a[data-hook="review"]',
+        "input#captchacharacters", "table#proxylisttable tbody tr",
+        "div > span", "li ~ li", "div.detail span, div.actions a",
+    ]
+
+    pages, *_ = crawl_corpus(n_pages=120, n_hosts=8)
+    docs = [p["html"] for p in pages[:60]]
+    docs += [html for _u, html, _p in parity_pages()]
+    docs.append(PROXY_LIST_HTML)
+
+    checked = 0
+    for html in docs:
+        root = parse_html(html)
+        for sel in selectors:
+            fast = select(root, sel)
+            # nested contexts: every div and the first table, if any
+            nests = select(root, "div")[:3] + select(root, "table")[:1]
+            fast_nested = [select(c, sel) for c in nests]
+            root.tag_index = None  # force the walk engine
+            slow = select(root, sel)
+            slow_nested = [select(c, sel) for c in nests]
+            root = parse_html(html)  # re-index for the next selector
+            assert [id(n) for n in fast] == [id(n) for n in slow] or [
+                (n.tag, n.order) for n in fast
+            ] == [(n.tag, n.order) for n in slow], sel
+            assert [[(n.tag, n.order) for n in g] for g in fast_nested] == [
+                [(n.tag, n.order) for n in g] for g in slow_nested
+            ], sel
+            checked += 1
+    assert checked > 1000
