@@ -2237,16 +2237,119 @@ def q66(spark, sf):
     )
 
 
-@_q("q67_learned_quality")
+def _q67_oracle() -> str:
+    # Replay BOTH learned-quality paths in DuckDB from first principles
+    # — including the classifier's full 8-iteration full-batch GD
+    # trajectory, unrolled as one (margins → residuals → gradient →
+    # weight-update) CTE quartet per iteration, the q62-PageRank trick
+    # applied to logistic regression. Possible because (a) training is
+    # deterministic (w₀ = 0, no RNG, l2 = 0 ⇒ update is exactly
+    # w −= grad/n) and (b) the gate entry runs hash_fn="md5", the
+    # engine-portable 60-bit hash — so bucket ids, margins, sigmoids,
+    # DSIR log-weights, and the Gumbel-top-k keys are all recomputed
+    # independently and agree bit-exactly after 6dp rounding (float
+    # sums differ only in association order; ln/exp by ≤1 ulp).
+    buckets, iters, n_sel = _Q67_BUCKETS, _Q67_ITERS, _Q67_N
+    h64 = "('0x' || substring(md5({x}),1,15))::BIGINT"
+    iter_ctes = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        iter_ctes.append(
+            f"m{k} AS (SELECT fx.doc_id, fx.y,"
+            f" sum(fx.x * coalesce(w.w, 0.0)) AS m"
+            f" FROM fx LEFT JOIN w{p} w USING (b) GROUP BY fx.doc_id, fx.y),"
+            f"r{k} AS (SELECT doc_id, 1.0/(1.0 + exp(-m)) - y AS r FROM m{k}),"
+            f"g{k} AS (SELECT fx.b, sum(fx.x * r.r) AS g FROM fx"
+            f" JOIN r{k} r USING (doc_id) GROUP BY fx.b),"
+            f"w{k} AS MATERIALIZED (SELECT g.b,"
+            f" coalesce(wp.w, 0.0) - g.g / (SELECT n FROM nd) AS w"
+            f" FROM g{k} g LEFT JOIN w{p} wp USING (b))"
+        )
+    hb = h64.format(x="g")
+    hu = h64.format(x="doc_id::VARCHAR || ':0'")
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, {hb} % {buckets} AS b
+  FROM (
+    SELECT doc_id, unnest(list_concat(
+      t, list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+    )) AS g
+    FROM base
+  )
+),
+tgt AS (SELECT b, count(*) AS c FROM grams g JOIN base USING (doc_id)
+        WHERE base.lang = 'en' GROUP BY b),
+tgt_tot AS (SELECT coalesce(sum(c), 0)::DOUBLE + {buckets} AS dn FROM tgt),
+rawd AS (SELECT b, count(*) AS c FROM grams GROUP BY b),
+raw_tot AS (SELECT coalesce(sum(c), 0)::DOUBLE + {buckets} AS dn FROM rawd),
+wts AS (
+  SELECT g.doc_id, count(*) AS n_feats,
+         sum( coalesce(ln((t.c + 1) / tt.dn), ln(1.0 / tt.dn))
+            - coalesce(ln((r.c + 1) / rt.dn), ln(1.0 / rt.dn)) ) AS lw
+  FROM grams g
+  LEFT JOIN tgt t USING (b) LEFT JOIN rawd r USING (b), tgt_tot tt, raw_tot rt
+  GROUP BY g.doc_id
+),
+wts_full AS MATERIALIZED (
+  SELECT base.doc_id, coalesce(w.n_feats, 0) AS n_feats,
+         coalesce(w.lw, 0.0) AS lw
+  FROM base LEFT JOIN wts w USING (doc_id)
+),
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM base WHERE lang IS NOT NULL),
+nd AS (SELECT count(*) AS n FROM lab),
+fx AS MATERIALIZED (
+  SELECT g.doc_id, l.y, g.b, count(*)::DOUBLE AS x
+  FROM grams g JOIN lab l USING (doc_id) GROUP BY g.doc_id, l.y, g.b
+  UNION ALL
+  SELECT doc_id, y, -1 AS b, 1.0 AS x FROM lab
+),
+w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS DOUBLE) AS w WHERE false),
+{",".join(iter_ctes)},
+fall AS MATERIALIZED (
+  SELECT doc_id, b, count(*)::DOUBLE AS x FROM grams GROUP BY doc_id, b
+  UNION ALL
+  SELECT doc_id, -1 AS b, 1.0 AS x FROM base
+),
+score AS (
+  SELECT doc_id, 1.0/(1.0 + exp(-sum(x * coalesce(w.w, 0.0)))) AS s
+  FROM fall LEFT JOIN w{iters} w USING (b) GROUP BY doc_id
+),
+sel AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           lw + (-ln(-ln( (({hu})::DOUBLE + 1.0) / {float(16 ** 15 + 1)!r} ))) AS k
+    FROM wts_full
+  ) ORDER BY k DESC, doc_id LIMIT {n_sel}
+)
+SELECT w.doc_id, round(s.s, 6) AS clf_score, w.n_feats,
+       round(w.lw, 6) AS log_weight6,
+       (w.doc_id IN (SELECT doc_id FROM sel)) AS selected
+FROM wts_full w JOIN score s USING (doc_id)
+"""
+
+
+_Q67_BUCKETS, _Q67_ITERS, _Q67_N = 512, 8, 100
+
+
+@_q("q67_learned_quality", _q67_oracle())
 def q67(spark, sf):
     # the learned quality-scoring pair over the documents table:
     # fastText-style logistic classifier (operators/classifier.py,
     # en-vs-rest as the deterministic label split) + DSIR importance
     # weights and Gumbel-top-k selection (operators/dsir.py, en docs as
-    # the target distribution). Both ride xxhash64 feature hashing, so
-    # no DuckDB twin exists (rows-only, like the q22/q24 sketches);
-    # training math is pinned to an independent numpy reference in
-    # tests/test_classifier.py and tests/test_quality_dsir.py.
+    # the target distribution). Since r5 the gate entry runs
+    # hash_fn="md5" (the q22 portable-hash trick), giving this row a
+    # full DuckDB oracle — _q67_oracle() retrains the classifier (8 GD
+    # iterations unrolled as CTEs) and refits both DSIR distributions
+    # in SQL. xxhash64 stays the scale default, pinned to independent
+    # numpy references in tests/test_classifier.py and
+    # tests/test_quality_dsir.py.
     from gocrawler_spark.operators.classifier import (
         classifier_score,
         train_quality_classifier,
@@ -2260,14 +2363,16 @@ def q67(spark, sf):
     d = _t(spark, sf, "documents")
     pos = d.filter(F.col("lang") == "en")
     neg = d.filter(F.col("lang") != "en")
-    model = train_quality_classifier(pos, neg, buckets=512, iters=8)
-    scored = classifier_score(d, model).select(
+    model = train_quality_classifier(
+        pos, neg, buckets=_Q67_BUCKETS, iters=_Q67_ITERS, hash_fn="md5"
+    )
+    scored = classifier_score(d, model, hash_fn="md5").select(
         "doc_id", F.round("score", 6).alias("clf_score")
     )
-    target = fit_feature_dist(pos, buckets=512)
-    raw = fit_feature_dist(d, buckets=512)
-    weighted = importance_weights(d, target, raw)
-    selected = dsir_select(weighted, n=100).select(
+    target = fit_feature_dist(pos, buckets=_Q67_BUCKETS, hash_fn="md5")
+    raw = fit_feature_dist(d, buckets=_Q67_BUCKETS, hash_fn="md5")
+    weighted = importance_weights(d, target, raw, hash_fn="md5")
+    selected = dsir_select(weighted, n=_Q67_N).select(
         "doc_id", F.lit(True).alias("selected")
     )
     return (

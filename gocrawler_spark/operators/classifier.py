@@ -50,14 +50,14 @@ class LinearQualityModel:
 
 
 def _doc_features(docs: DataFrame, id_col: str, text_col: str,
-                  buckets: int) -> DataFrame:
+                  buckets: int, hash_fn: str = "xxhash64") -> DataFrame:
     """(id, bucket, x): per-doc feature counts + the bias row. Count
     features (not binary) — fastText's bag-of-n-grams with sum pooling."""
     feats = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.concat(
-                hashed_ngram_features(F.col(text_col), buckets),
+                hashed_ngram_features(F.col(text_col), buckets, hash_fn),
                 F.array(F.lit(_BIAS).cast("long")),  # bias for every doc
             )
         ).alias("b"),
@@ -82,6 +82,7 @@ def train_quality_classifier(
     l2: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> LinearQualityModel:
     """Fit the classifier: positives get label 1, negatives 0.
 
@@ -99,7 +100,7 @@ def train_quality_classifier(
             F.col(text_col), F.lit(0.0).alias("_y"),
         )
     )
-    feats = _doc_features(labeled, id_col, text_col, buckets).join(
+    feats = _doc_features(labeled, id_col, text_col, buckets, hash_fn).join(
         labeled.select(F.col(id_col).alias("_id"), "_y"), "_id"
     ).cache()
     n_docs = feats.select("_id").distinct().count()
@@ -145,12 +146,13 @@ def classifier_score(
     model: LinearQualityModel,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id_col, score): σ(w·x + b) ∈ (0,1), higher = more positive-like.
     Docs with no tokens score σ(bias) — the prior."""
     spark = docs.sparkSession
     wdf = _weights_df(spark, model.weights, model.bias)
-    feats = _doc_features(docs, id_col, text_col, model.buckets)
+    feats = _doc_features(docs, id_col, text_col, model.buckets, hash_fn)
     return (
         feats.join(wdf, "b", "left")
         .groupBy(F.col("_id").alias(id_col))

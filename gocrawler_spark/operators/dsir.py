@@ -36,6 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F
 
 from gocrawler_spark.functions.text import tokens
+from gocrawler_spark.operators.dedup import _hash64
 
 __all__ = [
     "hashed_ngram_features", "FeatureDist", "fit_feature_dist",
@@ -43,9 +44,15 @@ __all__ = [
 ]
 
 
-def hashed_ngram_features(text_col, buckets: int = 10_000) -> "F.Column":
+def hashed_ngram_features(text_col, buckets: int = 10_000,
+                          hash_fn: str = "xxhash64") -> "F.Column":
     """array<long> of hashed unigram+bigram bucket ids (one per
-    occurrence — counts are implicit in the multiset)."""
+    occurrence — counts are implicit in the multiset).
+
+    ``hash_fn="md5"`` swaps in the engine-portable 60-bit md5-prefix
+    hash (``dedup._hash64``) so a DuckDB twin can recompute identical
+    bucket ids — the q67 oracle's trick; ``xxhash64`` (one codegen
+    intrinsic, no string materialization) stays the scale default."""
     t = tokens(text_col)
     # greatest(..., 0): an empty doc has size-1 = -1, and slice rejects
     # negative lengths outright (ANSI) rather than returning [].
@@ -57,7 +64,7 @@ def hashed_ngram_features(text_col, buckets: int = 10_000) -> "F.Column":
     # size-1 arrays: n = 0 -> slice len 0 -> empty bigram list (correct)
     return F.transform(
         F.concat(t, bigrams),
-        lambda g: F.pmod(F.xxhash64(g), F.lit(buckets)),
+        lambda g: F.pmod(_hash64(g, hash_fn), F.lit(buckets)),
     )
 
 
@@ -82,10 +89,13 @@ class FeatureDist:
 
 
 def fit_feature_dist(corpus: DataFrame, text_col: str = "text",
-                     buckets: int = 10_000) -> FeatureDist:
+                     buckets: int = 10_000,
+                     hash_fn: str = "xxhash64") -> FeatureDist:
     """One groupBy over the exploded feature stream; ≤ B result rows."""
     feats = corpus.select(
-        F.explode(hashed_ngram_features(F.col(text_col), buckets)).alias("b")
+        F.explode(
+            hashed_ngram_features(F.col(text_col), buckets, hash_fn)
+        ).alias("b")
     )
     # ≤ B rows — cache so the total probe and the weight joins share one
     # corpus scan.
@@ -98,7 +108,8 @@ def fit_feature_dist(corpus: DataFrame, text_col: str = "text",
 
 def importance_weights(docs: DataFrame, target: FeatureDist,
                        raw: FeatureDist, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """(id_col, n_feats, log_weight): sum over the doc's feature
     occurrences of ln p_target − ln p_raw. Feature-less docs keep their
     row with log_weight 0.0 (they carry no evidence either way)."""
@@ -109,7 +120,7 @@ def importance_weights(docs: DataFrame, target: FeatureDist,
     feats = docs.select(
         F.col(id_col),
         F.explode_outer(
-            hashed_ngram_features(F.col(text_col), target.buckets)
+            hashed_ngram_features(F.col(text_col), target.buckets, hash_fn)
         ).alias("b"),
     )
     t = F.broadcast(target.logp.withColumnRenamed("lp", "lp_t"))

@@ -109,3 +109,29 @@ def test_classifier_score_plan_is_jvm(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _md5_bucket(g: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % BUCKETS
+
+
+def test_classifier_md5_path_matches_hashlib_reference(spark):
+    """hash_fn="md5" (the q67-oracle portable hash) trains the same
+    trajectory as a reference whose bucket map comes from hashlib.md5
+    directly — unlike the xxhash64 test, NO primitive is shared with
+    Spark, so this pins both the hash portability and the GD math."""
+    pos = spark.createDataFrame(POS, "doc_id long, text string")
+    neg = spark.createDataFrame(NEG, "doc_id long, text string")
+    model = train_quality_classifier(
+        pos, neg, buckets=BUCKETS, iters=15, lr=0.5, l2=0.01, hash_fn="md5"
+    )
+    bmap = {
+        g: _md5_bucket(g)
+        for t in [t for _, t in POS + NEG]
+        for g in _grams(t)
+    }
+    ref_w, ref_b = _ref_train(bmap, iters=15, lr=0.5, l2=0.01)
+    assert model.bias == pytest.approx(ref_b, abs=1e-9)
+    np.testing.assert_allclose(model.weights, ref_w, atol=1e-9)
