@@ -2216,19 +2216,99 @@ def q65(spark, sf):
     return pairs.select("a", "b", F.round("cos", 6).alias("cos6"), "centroid_id")
 
 
-@_q("q66_bpe_vocab")
+_Q66_MERGES, _Q66_MIN_COUNT = 12, 2
+
+
+def _q66_iter_cte(k: int) -> str:
+    # One greedy BPE merge in SQL. The non-obvious part is Sennrich's
+    # greedy LEFT-TO-RIGHT NON-OVERLAPPING rewrite (a merged symbol
+    # never re-merges within the pass — the JVM fold's semantics):
+    # match sites can only overlap when x == y, and then they form runs
+    # of CONSECUTIVE positions, within which greedy keeps every other
+    # site starting at the run head. So: islands of consecutive match
+    # positions (i − row_number), keep sites at even offset from the
+    # island minimum, drop each kept site's right neighbour, rebuild in
+    # order. A merge whose best count is under min_pair_count rewrites
+    # nothing, which replays learn_bpe's early stop as a no-op tail.
+    p = k - 1
+    return f"""
+e{k} AS (
+  SELECT word, count, i, sym[i] AS s,
+         CASE WHEN i < len(sym) THEN sym[i+1] END AS s2
+  FROM v{p}, unnest(generate_series(1, len(sym))) AS u(i)
+),
+top{k} AS (
+  SELECT s AS x, s2 AS y, sum(count) AS c FROM e{k} WHERE s2 IS NOT NULL
+  GROUP BY s, s2 ORDER BY c DESC, x ASC, y ASC LIMIT 1
+),
+m{k} AS (
+  SELECT word, count, i, s,
+         (s = (SELECT x FROM top{k}) AND s2 = (SELECT y FROM top{k})
+          AND (SELECT c FROM top{k}) >= {_Q66_MIN_COUNT}) AS m
+  FROM e{k}
+),
+i{k} AS (
+  SELECT word, count, i, s, m,
+         CASE WHEN m THEN i - row_number()
+              OVER (PARTITION BY word, m ORDER BY i) END AS grp
+  FROM m{k}
+),
+k{k} AS (
+  SELECT word, count, i, s,
+         m AND ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0) AS km
+  FROM i{k}
+),
+v{k} AS MATERIALIZED (
+  SELECT word, any_value(count) AS count,
+         list(CASE WHEN km THEN s || (SELECT y FROM top{k}) ELSE s END
+              ORDER BY i) AS sym
+  FROM (SELECT *, coalesce(lag(km) OVER (PARTITION BY word ORDER BY i),
+                           false) AS prev_km FROM k{k})
+  WHERE NOT prev_km
+  GROUP BY word
+)"""
+
+
+def _q66_oracle() -> str:
+    # Replay the whole BPE training loop in DuckDB, one-at-a-time: the
+    # batched learn_bpe is provably merge-sequence-identical to greedy
+    # (tested), so 12 unrolled (pair-count → argmax → island rewrite)
+    # CTE blocks reproduce the final vocab exactly. Tie-break (c desc,
+    # x asc, y asc) matches because the corpus is UTF-8/UTF-16-order-
+    # agnostic ASCII. Verified on an adversarial repeated-symbol corpus
+    # (runs like 'aaaaaa', merges (a,a) then (aa,aa)) against the JVM
+    # fold — see tests/test_bpe_semdedup.py.
+    iters = ",".join(_q66_iter_cte(k) for k in range(1, _Q66_MERGES + 1))
+    return f"""
+WITH wc AS (
+  SELECT w AS word, count(*) AS count FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents) GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT word, count, list_append(string_split(word, ''), '</w>') AS sym
+  FROM wc
+),{iters}
+SELECT word, array_to_string(sym, ' ') AS segmentation,
+       cast(len(sym) AS int) AS n_syms, count
+FROM v{_Q66_MERGES}
+"""
+
+
+@_q("q66_bpe_vocab", _q66_oracle())
 def q66(spark, sf):
     # distributed BPE training (operators/bpe.py, Sennrich et al. 2016)
     # driven end-to-end: corpus word counts -> 12 learned merges -> the
-    # trained vocab's final segmentations. The merge argmax/rewrite loop
-    # is not SQL-expressible (greedy left-to-right fold semantics), so
-    # this is a rows-only gate entry; the merge sequence, vocab, and
-    # segmentations are pinned against an independent pure-Python
-    # Sennrich reference in tests/test_bpe_semdedup.py.
+    # trained vocab's final segmentations. Since r5 this carries a full
+    # DuckDB oracle: _q66_oracle() re-runs the entire training loop in
+    # SQL (argmax + greedy-island rewrite per merge, unrolled); the
+    # merge sequence is additionally pinned against an independent
+    # pure-Python Sennrich reference in tests/test_bpe_semdedup.py.
     from gocrawler_spark.operators.bpe import learn_bpe, word_counts
 
     d = _t(spark, sf, "documents")
-    merges, vocab = learn_bpe(word_counts(d), n_merges=12)
+    merges, vocab = learn_bpe(word_counts(d), n_merges=_Q66_MERGES)
     return vocab.select(
         "word",
         F.array_join("sym", " ").alias("segmentation"),

@@ -282,3 +282,46 @@ def test_batched_bpe_chained_merges_stay_exact(spark):
         _ref_word_counts([t for _, t in rows]), 6
     )
     assert merges == ref_merges
+
+
+def test_q66_sql_replay_matches_learn_bpe_on_repeated_symbols(spark):
+    """The q66 oracle re-runs BPE training in DuckDB; its greedy-
+    rewrite SQL (run-island parity over match positions) must equal the
+    JVM fold exactly on the corpus class where they can diverge —
+    repeated-symbol runs, where merge sites overlap and greedy
+    left-to-right non-overlap is load-bearing. The gate corpus may not
+    exercise this, so pin it here on a planted battery that trains
+    merges like (a,a) -> (aa,aa) and (an,an)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    texts = [
+        "aaaaaa aaaa aa baba abab bbbb",
+        "aaaaaa aaaa abab banana bananana",
+        "xxyxxyxxy xyxy yy yy xx aaaaaa",
+        "mississippi mississippi banana aaaa",
+        "aaaaaa bbbb xyxy mississippi aa",
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") t(doc_id, text)"
+    )
+    duck = sorted(tuple(r) for r in con.sql(entry._q66_oracle()).fetchall())
+
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges, vocab = learn_bpe(word_counts(d), n_merges=entry._Q66_MERGES)
+    got = sorted(
+        tuple(r)
+        for r in vocab.select(
+            "word",
+            F.array_join("sym", " ").alias("segmentation"),
+            F.size("sym").alias("n_syms"),
+            "count",
+        ).collect()
+    )
+    # the battery must actually hit the overlap cases
+    assert ("a", "a") in merges and ("aa", "aa") in merges
+    assert duck == got
