@@ -919,13 +919,78 @@ def q45(spark, sf):
     )
 
 
-@_q("q35_multimodal")
+_Q35_ORACLE = """
+WITH media AS MATERIALIZED (
+  SELECT i,
+         printf('m%05d', i) AS media_id,
+         ['image/jpeg','image/png','video/mp4','audio/ogg'][(i % 4) + 1] AS mime,
+         repeat(sha256('media/' || i), 1 + i % 7) AS hexpay,
+         CAST(32 * (1 + i % 7) AS BIGINT) AS n_bytes,
+         CASE WHEN i % 4 IN (2, 3) THEN 5000 + (i * 997) % 20000 ELSE 0 END AS dur
+  FROM generate_series(0, 63) t(i)
+),
+img AS MATERIALIZED (
+  SELECT media_id, mime, n_bytes,
+         substring(md5(hexpay), 1, 16) AS phash,
+         sha256(md5(hexpay)) AS sb
+  FROM media WHERE i % 4 IN (0, 1)
+),
+luma AS (
+  SELECT media_id,
+         round(avg(('0x' || substring(sb, 2*j - 1, 2))::INT) / 255.0, 6) AS mean_luma
+  FROM img, generate_series(1, 32) g(j) GROUP BY media_id
+),
+img_rows AS (
+  SELECT img.media_id, img.mime, img.n_bytes, img.phash, luma.mean_luma,
+         CAST(32 AS BIGINT) AS resized_bytes,
+         CAST(NULL AS BIGINT) AS n_frames,
+         CAST(NULL AS BIGINT) AS duration_ms,
+         CAST(NULL AS DOUBLE) AS rms_level
+  FROM img JOIN luma USING (media_id)
+),
+vid_rows AS (
+  SELECT media_id, mime, n_bytes,
+         CAST(NULL AS VARCHAR) AS phash, CAST(NULL AS DOUBLE) AS mean_luma,
+         CAST(NULL AS BIGINT) AS resized_bytes,
+         CAST(greatest(dur // 1000, 1) AS BIGINT) AS n_frames,
+         CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS DOUBLE) AS rms_level
+  FROM media WHERE i % 4 = 2
+),
+aud AS MATERIALIZED (
+  SELECT media_id, mime, n_bytes, dur, sha256(hexpay || '/audio') AS sb
+  FROM media WHERE i % 4 = 3
+),
+rms AS (
+  SELECT media_id,
+         round(sqrt(avg(pow(('0x' || substring(sb, 2*j - 1, 2))::INT / 255.0, 2))), 6)
+           AS rms_level
+  FROM aud, generate_series(1, 32) g(j) GROUP BY media_id
+),
+aud_rows AS (
+  SELECT aud.media_id, aud.mime, aud.n_bytes,
+         CAST(NULL AS VARCHAR) AS phash, CAST(NULL AS DOUBLE) AS mean_luma,
+         CAST(NULL AS BIGINT) AS resized_bytes, CAST(NULL AS BIGINT) AS n_frames,
+         CAST(aud.dur AS BIGINT) AS duration_ms, rms.rms_level
+  FROM aud JOIN rms USING (media_id)
+)
+SELECT * FROM img_rows UNION ALL SELECT * FROM vid_rows UNION ALL SELECT * FROM aud_rows
+"""
+
+
+@_q("q35_multimodal", _Q35_ORACLE)
 def q35(spark, sf):
     # the whole multimodal surface in one row-per-media summary: image
     # features (phash/mean_luma) + resize, video frame sampling, audio
     # features — r2's q35/q36/q48/q49 merged so every registered query
     # fits inside the driver's 50-row gate; each operator keeps its own
-    # pytest coverage (test_training_ops multimodal suite)
+    # pytest coverage (test_training_ops multimodal suite). Since r5
+    # this carries a full DuckDB oracle: the fake decode kernels chain
+    # through payload HEX digests (DuckDB hashes VARCHAR only), so the
+    # twin regenerates the synthetic media table and recomputes phash/
+    # mean_luma/rms/frame counts from first principles. The honest
+    # plumbing story is unchanged — a real backend (Pillow/pyav/
+    # librosa) replaces the kernel at the marked NotImplementedError
+    # points, and the Arrow/mapInPandas surfaces are the product.
     from gocrawler_spark.operators.multimodal import (
         audio_features,
         frame_sample,

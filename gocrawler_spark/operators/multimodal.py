@@ -69,12 +69,18 @@ FRAME_SCHEMA = StructType(
 
 def _fake_decode(payload: bytes, out_dim: int = 16) -> dict:
     """Deterministic stand-in for a real image decode: derives a
-    pseudo-pixel statistic vector from the payload digest."""
-    dig = hashlib.md5(bytes(payload)).digest()
-    arr = np.frombuffer(hashlib.sha256(dig).digest(), dtype=np.uint8).astype(np.float64)
+    pseudo-pixel statistic vector from the payload digest. The chain
+    runs over the payload's HEX form (md5(hex) → sha256(hexdigest))
+    rather than raw bytes so an engine without binary hashing — the
+    q35 DuckDB oracle — can recompute it; a real backend replaces this
+    kernel wholesale, the Arrow plumbing around it is the product."""
+    dig_hex = hashlib.md5(bytes(payload).hex().encode()).hexdigest()
+    arr = np.frombuffer(
+        hashlib.sha256(dig_hex.encode()).digest(), dtype=np.uint8
+    ).astype(np.float64)
     emb = (arr[:out_dim] / 255.0).round(6)
     return {
-        "phash": dig.hex()[:16],
+        "phash": dig_hex[:16],
         "mean_luma": round(float(arr.mean() / 255.0), 6),
         "embedding": emb.tolist(),
     }
@@ -194,7 +200,8 @@ def audio_features(media: DataFrame, n_mfcc: int = 13, backend: str = "fake") ->
         for pdf in batches:
             rms, mfccs = [], []
             for p in pdf["payload"]:
-                dig = hashlib.sha256(bytes(p) + b"/audio").digest()
+                # hex-form chain for the same reason as _fake_decode
+                dig = hashlib.sha256(bytes(p).hex().encode() + b"/audio").digest()
                 arr = np.frombuffer(dig, dtype=np.uint8).astype(np.float64) / 255.0
                 rms.append(round(float(np.sqrt((arr**2).mean())), 6))
                 mfccs.append((arr[:n_mfcc] * 2 - 1).round(6).tolist())
