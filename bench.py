@@ -220,6 +220,115 @@ def bench_fetch_join(spark):
     return time.time() - t0, {"groups": n}
 
 
+_SF_EXTRACT = {"sf0.001": 400, "sf0.01": 2_000, "sf0.1": 20_000}
+N_EXTRACT = int(
+    os.environ.get(
+        "SPARK_GRAFT_EXTRACT_N",
+        _SF_EXTRACT.get(os.path.basename(SF_DIR.rstrip("/")), 2_000),
+    )
+)
+
+
+def bench_page_extract(spark):
+    """The extraction surface at REALISTIC page size. crawl_round's
+    fixture pages average ~1.2 KB, so the DOM kernel there hides behind
+    commit overhead; real crawled product pages run 10-100 KiB. This
+    renders ~10 KiB Mixup-profile pages — the base product template
+    inflated with link lists and filler markup the selectors must scan
+    past — and times the real kernel path (extract_fetched's
+    mapInPandas over the fetched-batch shape) end to end. Generation is
+    cached and counted before the timer starts; one untimed warmup
+    amortizes python-worker startup, then best-of-REPS (the crawl's
+    steady-state shape: the same workers extract every round)."""
+    import pandas as pd
+
+    from gocrawler_spark.operators.extraction import extract_fetched
+    from gocrawler_spark.profiles import synthetic_profile
+
+    n_hosts = 16
+    hosts = tuple(f"shop{k:03d}.example" for k in range(n_hosts))
+    profile = synthetic_profile(hosts)
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                host = f"shop{i % n_hosts:03d}.example"
+                url = f"https://{host}/Mixup/detproducto.aspx?sku={i:012d}"
+                links = "\n".join(
+                    f'  <a href="https://{host}/Mixup/detproducto.aspx?sku='
+                    f'{(i * 31 + j):012d}">producto {j}</a>'
+                    for j in range(40)
+                )
+                filler = "\n".join(
+                    f'<div class="mod m{j}"><span class="lbl">campo {j}</span>'
+                    f'<p>{"texto de relleno util para la pagina " * 3}</p></div>'
+                    for j in range(28)
+                )
+                html = f"""<html><head>
+  <meta name="Description" content="bench,extract">
+  <meta name="Keywords" content="Documento {i}">
+</head><body>
+  <div class="w"><div class="detail">
+    Doc {i} nombre del producto
+    src{i % 20}
+    Lang: es
+    Chars: {100 + i % 900}
+  </div></div>
+  <div class="productcontent"><div id="tabs-res">descripcion {i} {"palabra " * 24}</div></div>
+  <div class="actions">
+    <span class="precioofertaNewDet">Precio: ${(i % 9000) / 100 + 10:,.2f}</span>
+  </div>
+{links}
+{filler}
+</body></html>"""
+                rows.append((url, f"{i:032x}", host, 1, 0, i, html.encode()))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "url_hash", "host", "depth", "priority",
+                         "fetch_rank", "html"],
+            )
+
+    fetched = (
+        spark.range(N_EXTRACT)
+        .repartition(CPUS * 2)
+        .mapInPandas(
+            render,
+            "url string, url_hash string, host string, depth int, "
+            "priority int, fetch_rank long, html binary",
+        )
+        .cache()
+    )
+    n_pages = fetched.count()  # materialize generation outside the timer
+    mean_bytes = fetched.select(F.avg(F.length("html"))).first()[0]
+
+    def run():
+        return (
+            extract_fetched(fetched, profile)
+            .select(F.size("links").alias("nl"), F.length("text").alias("nt"))
+            .agg(F.sum("nl"), F.sum("nt"), F.count(F.lit(1)))
+            .first()
+        )
+
+    for _ in range(WARMUP):
+        run()
+    best, links_out = None, 0
+    for _ in range(REPS):
+        t0 = time.time()
+        r = run()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best, links_out = dt, int(r[0])
+    fetched.unpersist()
+    return best, {
+        "pages": n_pages,
+        "mean_page_bytes": int(mean_bytes),
+        "links_extracted": links_out,
+        "pages_per_sec": round(n_pages / best, 1),
+    }
+
+
 def bench_trap_scan(spark):
     """Crawl-trap detection over the full synthetic frontier: distinct-
     URL dedup + (host, template) structural collapse + per-host rollup.
@@ -467,6 +576,7 @@ def main():
         "minhash_lsh": bench_minhash,
         "ann_bruteforce": bench_ann,
         "fetch_join": bench_fetch_join,
+        "page_extract": bench_page_extract,
         "trap_scan": bench_trap_scan,
         "recrawl": bench_recrawl,
         "quality_dsir": bench_quality_dsir,
