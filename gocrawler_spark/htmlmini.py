@@ -30,10 +30,17 @@ from html.parser import HTMLParser
 from operator import attrgetter
 
 _NODE_ORDER = attrgetter("order")
+_NODE_DATA = attrgetter("data")
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
+
+# shared read-only empty attrs dict (see Node.__init__) and the
+# class-string → split-tuple cache (see Node.classes)
+_EMPTY_ATTRS: dict = {}
+_CLASSES_CACHE: dict = {}
+_NO_CHILDREN: tuple = ()
 
 
 class Node:
@@ -47,17 +54,29 @@ class Node:
     a binary-searched order interval instead of walking the subtree —
     the walk was the extraction kernel's hottest loop, and the saving
     grows with page size (real crawled pages are 10-100x the fixtures).
+    ``text_index`` (all text nodes, document order) plays the same role
+    for :meth:`text`: a subtree's text is the bisected order interval
+    joined, no walk; text nodes are leaves, so the interval is exact.
+    ``class_index`` / ``id_index`` (class → nodes, id → nodes, document
+    order) let class- and id-bearing compounds — the majority of the
+    reference's selectors — start from a few candidates instead of every
+    node of a tag.
     """
 
     __slots__ = (
         "tag", "attrs", "children", "parent", "is_text", "data", "order",
-        "end", "tag_index",
+        "end", "tag_index", "text_index", "class_index", "id_index",
     )
 
     def __init__(self, tag="", attrs=None, parent=None, is_text=False, data="", order=0):
         self.tag = tag
-        self.attrs = attrs or {}
-        self.children = []
+        # attr-less elements and text nodes share ONE empty dict: consumers
+        # treat attrs as read-only (same contract the _ATTRS_CACHE sharing
+        # already relies on), and the per-node dict alloc was measurable
+        self.attrs = _EMPTY_ATTRS if attrs is None else attrs
+        # text nodes are always leaves: share one immutable empty tuple
+        # instead of allocating a list per node (walks only iterate)
+        self.children = _NO_CHILDREN if is_text else []
         self.parent = parent
         self.is_text = is_text
         self.data = data
@@ -66,7 +85,17 @@ class Node:
 
     # -- helpers ---------------------------------------------------------
     def classes(self):
-        return self.attrs.get("class", "").split()
+        # templated pages repeat the same class strings on thousands of
+        # nodes; cache the split per distinct string (callers don't mutate)
+        cls = self.attrs.get("class", "")
+        if not cls:
+            return ()
+        lst = _CLASSES_CACHE.get(cls)
+        if lst is None:
+            if len(_CLASSES_CACHE) >= 4096:
+                _CLASSES_CACHE.clear()
+            lst = _CLASSES_CACHE[cls] = tuple(cls.split())
+        return lst
 
     def iter_subtree(self):
         """Yield descendants (not self) in document order."""
@@ -80,6 +109,21 @@ class Node:
         """goquery ``.Text()``: all text-node data, document order, raw."""
         if self.is_text:
             return self.data  # text nodes have no children
+        root = self
+        p = root.parent
+        while p is not None:
+            root = p
+            p = root.parent
+        try:
+            tindex = root.text_index
+        except AttributeError:
+            tindex = None  # manually assembled tree: walk below
+        if tindex is not None:
+            if root is self:
+                return "".join(map(_NODE_DATA, tindex))
+            lo = bisect_right(tindex, self.order, key=_NODE_ORDER)
+            hi = bisect_right(tindex, self.end, key=_NODE_ORDER)
+            return "".join(map(_NODE_DATA, tindex[lo:hi]))
         parts = []
         stack = list(reversed(self.children))
         while stack:  # inlined iter_subtree: no generator frames
@@ -148,6 +192,19 @@ def _index_document(root):
     for n in reversed(pre):  # children before parents
         n.end = n.children[-1].end if n.children else n.order
     root.tag_index = idx
+    root.text_index = [n for n in pre if n.is_text]
+    cidx: dict = {}
+    iidx: dict = {}
+    for n in pre:
+        if n.is_text or n is root:
+            continue
+        nid = n.attrs.get("id")
+        if nid is not None:
+            iidx.setdefault(nid, []).append(n)
+        for c in n.classes():
+            cidx.setdefault(c, []).append(n)
+    root.class_index = cidx
+    root.id_index = iidx
     return root
 
 
@@ -184,6 +241,10 @@ _END_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _ATTR_RE = re.compile(
     r"\s*([^\s/>=]+)(?:\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]*)))?"
 )
+# one double-quoted attribute is the dominant cache-MISS shape (every
+# distinct link href misses _ATTRS_CACHE); match it in one shot instead
+# of spinning up finditer
+_ONE_ATTR_RE = re.compile(r"\s*([^\s/>=]+)\s*=\s*\"([^\"]*)\"\s*$")
 _RAWTEXT_END = {
     t: re.compile(r"</\s*" + t, re.IGNORECASE) for t in ("script", "style")
 }
@@ -208,8 +269,17 @@ def parse_html(html):
     order = 0
     tag_index: dict = {}
     root.tag_index = tag_index
+    text_index: list = []
+    root.text_index = text_index
+    class_index: dict = {}
+    root.class_index = class_index
+    id_index: dict = {}
+    root.id_index = id_index
 
     def push(node):
+        # every push() caller in this tokenizer pushes a TEXT node
+        # (elements are created inline below), so the text index is
+        # maintained here and at the one inlined text site
         nonlocal order
         order += 1
         node.order = order
@@ -217,61 +287,116 @@ def parse_html(html):
         parent = stack[-1]
         node.parent = parent
         parent.children.append(node)
+        text_index.append(node)
         return node
+
+    # hoisted bound methods/globals: the loop body runs once per node and
+    # LOAD_FAST beats LOAD_GLOBAL/LOAD_METHOD at this call density
+    s_find = s.find
+    start_match = _START_RE.match
+    end_match = _END_RE.match
+    attrs_cache_get = _ATTRS_CACHE.get
+    tag_index_get = tag_index.get
+    text_append = text_index.append
+    unescape = _unescape
+    NodeC = Node
+    node_new = Node.__new__  # hot sites store slots directly, no ctor call
 
     i, n = 0, len(s)
     while i < n:
-        lt = s.find("<", i)
+        lt = s_find("<", i)
         if lt < 0:
             chunk = s[i:]
-            push(Node(is_text=True, data=_unescape(chunk) if "&" in chunk else chunk))
+            push(NodeC("", None, None, True, unescape(chunk) if "&" in chunk else chunk))
             break
         if lt > i:
             chunk = s[i:lt]
-            # inlined push: text nodes are the most frequent node kind
+            # inlined push + ctor: text nodes are the most frequent kind
             order += 1
-            nd = Node(is_text=True, data=_unescape(chunk) if "&" in chunk else chunk, order=order)
             parent = stack[-1]
+            nd = node_new(NodeC)
+            nd.tag = ""
+            nd.attrs = _EMPTY_ATTRS
+            nd.children = _NO_CHILDREN
             nd.parent = parent
+            nd.is_text = True
+            nd.data = unescape(chunk) if "&" in chunk else chunk
+            nd.order = order
+            nd.end = order
             parent.children.append(nd)
-        c = s[lt + 1 : lt + 2]
+            text_append(nd)
+        nxt = lt + 1
+        c = s[nxt] if nxt < n else ""  # 1-char index beats a slice
         if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
-            m = _START_RE.match(s, lt)
+            m = start_match(s, lt)
             if not m:
-                push(Node(is_text=True, data="<"))
+                push(NodeC("", None, None, True, "<"))
                 i = lt + 1
                 continue
-            tag = m.group(1).lower()
-            raw_attrs = m.group(2)
+            tag, raw_attrs, selfclose = m.group(1, 2, 3)
+            tag = tag.lower()
             if raw_attrs:
-                attrs = _ATTRS_CACHE.get(raw_attrs)
+                attrs = attrs_cache_get(raw_attrs)
                 if attrs is None:
-                    attrs = {}
-                    for am in _ATTR_RE.finditer(raw_attrs):
-                        v = am.group(2)
-                        if v is None:
-                            v = am.group(3)
-                        if v is None:
-                            v = am.group(4)
-                        if v is None:
-                            v = ""
-                        attrs[am.group(1).lower()] = _unescape(v) if "&" in v else v
+                    om = _ONE_ATTR_RE.match(raw_attrs)
+                    if om is not None:
+                        k, v = om.group(1, 2)
+                        attrs = {k.lower(): _unescape(v) if "&" in v else v}
+                    else:
+                        attrs = {}
+                        for am in _ATTR_RE.finditer(raw_attrs):
+                            v = am.group(2)
+                            if v is None:
+                                v = am.group(3)
+                            if v is None:
+                                v = am.group(4)
+                            if v is None:
+                                v = ""
+                            attrs[am.group(1).lower()] = _unescape(v) if "&" in v else v
                     if len(_ATTRS_CACHE) >= _ATTRS_CACHE_MAX:
                         _ATTRS_CACHE.clear()
                     _ATTRS_CACHE[raw_attrs] = attrs
             else:
                 attrs = None
             order += 1
-            node = Node(tag=tag, attrs=attrs, order=order)
             parent = stack[-1]
+            node = node_new(NodeC)
+            node.tag = tag
+            node.attrs = _EMPTY_ATTRS if attrs is None else attrs
+            node.children = []
             node.parent = parent
+            node.is_text = False
+            node.data = ""
+            node.order = order
+            node.end = order
             parent.children.append(node)
-            lst = tag_index.get(tag)
+            lst = tag_index_get(tag)
             if lst is None:
                 tag_index[tag] = [node]
             else:
                 lst.append(node)
-            self_closing = bool(m.group(3))
+            if attrs is not None:
+                nid = attrs.get("id")
+                if nid is not None:
+                    lst = id_index.get(nid)
+                    if lst is None:
+                        id_index[nid] = [node]
+                    else:
+                        lst.append(node)
+                cv = attrs.get("class")
+                if cv:
+                    cls = _CLASSES_CACHE.get(cv)
+                    if cls is None:
+                        if len(_CLASSES_CACHE) >= 4096:
+                            _CLASSES_CACHE.clear()
+                        cls = _CLASSES_CACHE[cv] = tuple(cv.split())
+                    for c in cls:
+                        lst = class_index.get(c)
+                        if lst is None:
+                            class_index[c] = [node]
+                        else:
+                            lst.append(node)
+            self_closing = bool(selfclose)
             i = m.end()
             if tag in _RAWTEXT_END and not self_closing:
                 stack.append(node)  # raw text is a CHILD of script/style
@@ -280,14 +405,14 @@ def parse_html(html):
                     break  # unclosed raw text: html.parser drops it
                 if em.start() > i:
                     # raw content: charrefs NOT converted
-                    push(Node(is_text=True, data=s[i : em.start()]))
+                    push(NodeC("", None, None, True, s[i : em.start()]))
                 stack.pop().end = order
-                gt = s.find(">", em.start())
+                gt = s_find(">", em.start())
                 i = n if gt < 0 else gt + 1
             elif tag not in VOID_ELEMENTS and not self_closing:
                 stack.append(node)
         elif c == "/":
-            m = _END_RE.match(s, lt)
+            m = end_match(s, lt)
             if m:
                 tag = m.group(1).lower()
                 for k in range(len(stack) - 1, 0, -1):
@@ -298,35 +423,35 @@ def parse_html(html):
                         break
                 i = m.end()
             else:
-                gt = s.find(">", lt)
+                gt = s_find(">", lt)
                 if gt < 0:
                     # EOF mid-construct: html.parser emits '<' then the
                     # tail as data — fall through to the text path
-                    push(Node(is_text=True, data="<"))
+                    push(NodeC("", None, None, True, "<"))
                     i = lt + 1
                 else:
                     # bogus end tag ('</>', '</ x'): skip to '>'
                     i = gt + 1
         elif c == "!":
             if s.startswith("<!--", lt):
-                j = s.find("-->", lt + 4)
+                j = s_find("-->", lt + 4)
             else:
-                j = s.find(">", lt)
+                j = s_find(">", lt)
                 j = j - 2 if j >= 0 else j  # normalize: consume j+3 below
             if j < 0:
-                push(Node(is_text=True, data="<"))
+                push(NodeC("", None, None, True, "<"))
                 i = lt + 1
             else:
                 i = j + 3
         elif c == "?":
-            j = s.find(">", lt)
+            j = s_find(">", lt)
             if j < 0:
-                push(Node(is_text=True, data="<"))
+                push(NodeC("", None, None, True, "<"))
                 i = lt + 1
             else:
                 i = j + 1
         else:
-            push(Node(is_text=True, data="<"))
+            push(NodeC("", None, None, True, "<"))
             i = lt + 1
     for nd in stack:  # still-open elements (and the root) span to EOF
         nd.end = order
@@ -448,7 +573,7 @@ def _match_compound(node, comp):
     if comp["id"] is not None and node.attrs.get("id") != comp["id"]:
         return False
     if comp["classes"]:
-        cls = set(node.classes())
+        cls = node.classes()  # cached tuple; tiny, linear scan beats set()
         if not all(c in cls for c in comp["classes"]):
             return False
     for attr, op, val in comp["attrs"]:
@@ -470,16 +595,19 @@ def _doc_root(context):
     return r
 
 
-def _filter_candidates(cand, comp):
-    """Apply the non-tag parts of a compound to tag-index candidates."""
+def _filter_candidates(cand, comp, check_tag=False):
+    """Apply a compound to index candidates. ``check_tag`` is set when
+    the candidates came from the class/id index (so the tag part, if
+    any, still needs verifying); tag-index candidates skip it."""
     cid, classes, cattrs = comp["id"], comp["classes"], comp["attrs"]
-    if cid is None and not classes and not cattrs:
+    tag = comp["tag"] if check_tag else None
+    if tag is None and cid is None and not classes and not cattrs:
         return list(cand)
     out = []
     for n in cand:
-        ok = cid is None or n.attrs.get("id") == cid
+        ok = (tag is None or n.tag == tag) and (cid is None or n.attrs.get("id") == cid)
         if ok and classes:
-            cls = set(n.classes())
+            cls = n.classes()
             ok = all(c in cls for c in classes)
         if ok and cattrs:
             for attr, op, val in cattrs:
@@ -518,13 +646,33 @@ def select(context, selector):
     if len(groups) == 1 and len(groups[0]) == 1:
         comp = groups[0][0][1]
         tag, cid = comp["tag"], comp["id"]
-        if idx is not None and tag is not None:
-            # indexed path: candidates of the right tag via one dict
-            # lookup + binary-searched order interval; no subtree walk
-            cand = idx.get(tag)
-            if not cand:
-                return []
-            return _filter_candidates(_subtree_slice(cand, context, root), comp)
+        if idx is not None:
+            # indexed path: start from the most selective index the
+            # compound names (id > class > tag) via one dict lookup +
+            # binary-searched order interval; no subtree walk
+            cand = None
+            need_tag = False
+            if cid is not None:
+                cand = root.id_index.get(cid)
+                if cand is None:
+                    return []
+                need_tag = tag is not None
+            elif comp["classes"]:
+                for c in comp["classes"]:  # rarest class wins
+                    lst = root.class_index.get(c)
+                    if lst is None:
+                        return []
+                    if cand is None or len(lst) < len(cand):
+                        cand = lst
+                need_tag = tag is not None
+            elif tag is not None:
+                cand = idx.get(tag)
+                if not cand:
+                    return []
+            if cand is not None:
+                return _filter_candidates(
+                    _subtree_slice(cand, context, root), comp, need_tag
+                )
         # walk fallback — hoist the compound's fields and inline the
         # match: most nodes reject on the tag compare, so the common
         # case is one attribute load + one string compare, no call frame
@@ -536,7 +684,7 @@ def select(context, selector):
             if not n.is_text and (tag is None or n.tag == tag):
                 ok = cid is None or n.attrs.get("id") == cid
                 if ok and classes:
-                    cls = set(n.classes())
+                    cls = n.classes()
                     ok = all(c in cls for c in classes)
                 if ok and cattrs:
                     for attr, op, val in cattrs:
@@ -554,19 +702,40 @@ def select(context, selector):
         return out
     # general path (combinators / comma groups): a match's TARGET node
     # always satisfies the group's last compound, so when every last
-    # compound names a tag the index prunes the candidate set the same
-    # way before the ancestor-chain check runs
-    last_tags = [steps[-1][1]["tag"] for steps in groups]
-    if idx is not None and all(t is not None for t in last_tags):
-        out, seen = [], set()
-        for steps, t in zip(groups, last_tags):
-            for n in _subtree_slice(idx.get(t, ()), context, root):
-                if id(n) not in seen and _match_node_against_group(n, steps, context):
-                    seen.add(id(n))
-                    out.append(n)
-        if len(groups) > 1:
-            out.sort(key=_NODE_ORDER)  # restore document order across groups
-        return out
+    # compound names an indexable key (id, class, or tag) the index
+    # prunes the candidate set the same way before the ancestor-chain
+    # check runs (_match_node_against_group re-verifies the compound)
+    if idx is not None:
+        cand_lists = []
+        for steps in groups:
+            comp = steps[-1][1]
+            if comp["id"] is not None:
+                cand_lists.append(root.id_index.get(comp["id"], ()))
+            elif comp["classes"]:
+                best = ()
+                for k, c in enumerate(comp["classes"]):
+                    lst = root.class_index.get(c)
+                    if lst is None:
+                        best = ()
+                        break
+                    if k == 0 or len(lst) < len(best):
+                        best = lst
+                cand_lists.append(best)
+            elif comp["tag"] is not None:
+                cand_lists.append(idx.get(comp["tag"], ()))
+            else:
+                cand_lists = None  # bare [attr]/*: no index key
+                break
+        if cand_lists is not None:
+            out, seen = [], set()
+            for steps, cand in zip(groups, cand_lists):
+                for n in _subtree_slice(cand, context, root):
+                    if id(n) not in seen and _match_node_against_group(n, steps, context):
+                        seen.add(id(n))
+                        out.append(n)
+            if len(groups) > 1:
+                out.sort(key=_NODE_ORDER)  # restore document order across groups
+            return out
     out, seen = [], set()
     for n in context.iter_subtree():
         if n.is_text:
@@ -623,12 +792,25 @@ def _is_descendant(n, context):
     return False
 
 
+def _single_compound(groups):
+    """The lone compound of a one-group one-step selector list, else None.
+
+    Covers the majority of the reference's filter selectors; lets the
+    Sel filter methods call _match_compound directly instead of paying
+    a matches()→any()→genexpr frame chain per candidate node (that
+    chain was ~10% of extract_page on realistic pages)."""
+    if len(groups) == 1 and len(groups[0]) == 1:
+        return groups[0][0][1]
+    return None
+
+
 def matches(node, selector):
     """goquery ``Selection.Is`` for simple selectors (no combinators)."""
     groups = parse_selector(selector)
-    return any(
-        len(steps) == 1 and _match_compound(node, steps[0][1]) for steps in groups
-    )
+    for steps in groups:
+        if len(steps) == 1 and _match_compound(node, steps[0][1]):
+            return True
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -666,15 +848,22 @@ class Sel:
         return Sel(out)
 
     def filter(self, selector):
+        comp = _single_compound(parse_selector(selector))
+        if comp is not None:
+            return Sel([n for n in self.nodes if _match_compound(n, comp)])
         return Sel([n for n in self.nodes if matches(n, selector)])
 
     def filter_fn(self, fn):
         return Sel([n for i, n in enumerate(self.nodes) if fn(i, n)])
 
     def children_filtered(self, selector):
+        comp = _single_compound(parse_selector(selector))
         out = []
         for n in self.nodes:
-            out.extend(c for c in n.children if not c.is_text and matches(c, selector))
+            if comp is not None:
+                out.extend(c for c in n.children if not c.is_text and _match_compound(c, comp))
+            else:
+                out.extend(c for c in n.children if not c.is_text and matches(c, selector))
         return Sel(out)
 
     def contents(self):
@@ -699,13 +888,20 @@ class Sel:
         return Sel(out)
 
     def next_all_filtered(self, selector):
+        comp = _single_compound(parse_selector(selector))
         out = []
         for n in self.nodes:
             if n.parent is None:
                 continue
-            sibs = [s for s in n.parent.children if not s.is_text]
-            k = sibs.index(n)
-            out.extend(s for s in sibs[k + 1 :] if matches(s, selector))
+            # one pass over the parent's children: skip to self, then
+            # match following element siblings (no sibs list + index())
+            after = False
+            for s in n.parent.children:
+                if s is n:
+                    after = True
+                elif after and not s.is_text:
+                    if _match_compound(s, comp) if comp is not None else matches(s, selector):
+                        out.append(s)
         return Sel(out)
 
     def parent(self):
