@@ -415,12 +415,17 @@ def parse_html(html):
             m = end_match(s, lt)
             if m:
                 tag = m.group(1).lower()
-                for k in range(len(stack) - 1, 0, -1):
-                    if stack[k].tag == tag:
-                        for nd in stack[k:]:
-                            nd.end = order
-                        del stack[k:]
-                        break
+                top = stack[-1]
+                if top.tag == tag:  # well-formed HTML: closes the top
+                    top.end = order
+                    stack.pop()
+                else:
+                    for k in range(len(stack) - 1, 0, -1):
+                        if stack[k].tag == tag:
+                            for nd in stack[k:]:
+                                nd.end = order
+                            del stack[k:]
+                            break
                 i = m.end()
             else:
                 gt = s_find(">", lt)
@@ -839,6 +844,13 @@ class Sel:
 
     def find(self, selector):
         groups = parse_selector(selector)
+        if len(self.nodes) == 1:
+            # the extractor's dominant shape: select() already returns
+            # unique nodes in document order for ONE context, and always
+            # a fresh list — skip the seen-set and the Sel(list) re-copy
+            s = Sel.__new__(Sel)
+            s.nodes = select(self.nodes[0], groups)
+            return s
         out, seen = [], set()
         for n in self.nodes:
             for m in select(n, groups):
