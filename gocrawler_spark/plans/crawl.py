@@ -197,6 +197,17 @@ class CrawlConfig:
     # Default off: the reference treats bytes as-is and the byte-parity
     # suite pins that.
     decode_charsets: bool = False
+    # Opt-in table maintenance every N rounds (0 = off): compact the
+    # append/merge-heavy state tables back to one data root (Iceberg
+    # rewrite_data_files) and expire snapshots strictly OLDER than the
+    # last complete checkpoint's snapshot vector (expire_snapshots) —
+    # resume's rollback target and everything after it stay intact.
+    # Without it a long run's table dirs grow O(rounds) in file count
+    # and bytes (every round pins its append spray forever); at
+    # 10^10-URL scale manifest-entry count alone becomes a driver cost.
+    # Default off: maintenance snapshots are extra commits the parity
+    # suite's snapshot-count assertions don't expect.
+    maintenance_every: int = 0
 
 
 class CrawlJob:
@@ -216,6 +227,7 @@ class CrawlJob:
         self._robots_df: DataFrame | None = None
         self._seen_count: int = 0
         self._round_caches: list[DataFrame] = []
+        self._last_ckpt_snaps: dict[str, int] = {}
 
     # ---------------------------------------------------------------- setup
     def _ckpt_table(self) -> str:
@@ -935,6 +947,29 @@ class CrawlJob:
             [(self.run_id, round_no, json.dumps(snaps), json.dumps(metrics))],
             "run_id string, round int, snapshots string, metrics string",
         )
+        self._last_ckpt_snaps = snaps
+
+    def maintain(self) -> dict:
+        """Between-rounds table maintenance (CrawlConfig.maintenance_every):
+        fold each state table's accumulated per-round data sprays back to
+        one root (``SnapshotCatalog.compact``) and expire snapshots no
+        resume can reach — everything strictly older than the last
+        complete checkpoint's snapshot vector (``expire_snapshots``).
+        Compaction commits AFTER the checkpoint, so a crash mid-
+        maintenance resumes from the checkpointed (pre-compact) snapshot,
+        whose dirs the retention bound keeps alive."""
+        stats = {}
+        for t in STATE_TABLES:
+            if not self.cat.exists(t):
+                continue
+            retain = self._last_ckpt_snaps.get(t, self.cat.current_snapshot(t))
+            self.cat.compact(t)
+            stats[t] = self.cat.expire_snapshots(t, retain_from=retain)
+        # the checkpoint table itself accumulates one 1-row file per
+        # round; fold it too (never expired — it is the resume log)
+        if self.cat.exists(self._ckpt_table()):
+            self.cat.compact(self._ckpt_table())
+        return stats
 
     # ---------------------------------------------------------------- loop
     def run(self, pages: DataFrame, start_round: int = 1) -> list[dict]:
@@ -945,6 +980,8 @@ class CrawlJob:
             if m.get("done"):
                 break
             history.append(m)
+            if self.cfg.maintenance_every and rnd % self.cfg.maintenance_every == 0:
+                self.maintain()
             rnd += 1
         if self.cfg.archive_dir and any(m["fetched"] for m in history):
             self.finalize_archive()

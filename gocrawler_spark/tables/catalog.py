@@ -395,6 +395,143 @@ class SnapshotCatalog:
             dirs.append({"root": new_root, "parts": new_parts})
         return self._commit(table, dirs, "merge-delta", schema_json=out.schema.json())
 
+    # -- maintenance ---------------------------------------------------------
+    def snapshots(self, table: str) -> list[int]:
+        """Snapshot ids with a live manifest, ascending."""
+        meta = self._meta(table)
+        if not os.path.isdir(meta):
+            return []
+        out = []
+        for name in os.listdir(meta):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def compact(self, table: str, n_rows: int | None = None) -> int | None:
+        """Rewrite the current snapshot's data as ONE data root (Iceberg
+        ``rewrite_data_files``). Append tables accumulate one parquet
+        spray per round and bucket-delta merges one partial root per
+        round — after R rounds a scan opens O(R) directories and the
+        manifest carries O(R) entries; compaction folds them back to one
+        root with size-hinted file counts, committed as a new snapshot
+        (``op="compact"``) so time-travel/rollback to pre-compact
+        snapshots still works until they are expired.
+
+        Bucketed tables rewrite ``partitionBy(bucket)`` (one file per
+        bucket, spec preserved — later bucket-delta merges keep their
+        fast path); unbucketed tables size the file count from
+        ``n_rows`` (counted when not supplied). Returns the new snapshot
+        id, or None when the table is already a single plain root
+        (nothing to fold)."""
+        cur = self.current_snapshot(table)
+        if cur is None:
+            raise FileNotFoundError(f"table {table} has no snapshot")
+        man = self._manifest(table, cur)
+        dirs = man["dirs"]
+        if len(dirs) <= 1 and all(isinstance(d, str) for d in dirs):
+            return None
+        df = self.read(table)
+        spec = man.get("bucket_spec")
+        if spec is not None and BUCKET_COL in df.columns:
+            d = self._write_data(table, df, BUCKET_COL)
+        else:
+            if n_rows is None:
+                n_rows = df.count()
+            d = self._write_data(table, df, n_rows=n_rows)
+        new_dirs = [d] if self._has_parquet(d) else []
+        return self._commit(table, new_dirs, "compact",
+                            schema_json=man.get("schema") or df.schema.json(),
+                            bucket_spec=spec)
+
+    def expire_snapshots(self, table: str, keep_last: int | None = None,
+                         retain_from: int | None = None) -> dict:
+        """Drop manifests below the retention bound and delete every data
+        root (and bucket part dir) no retained snapshot references
+        (Iceberg ``expire_snapshots``). Without it a long-running
+        frontier's table directory grows without bound: every round's
+        append/merge snapshot pins its dirs forever.
+
+        ``keep_last=k`` retains the k most recent snapshots;
+        ``retain_from=s`` retains every snapshot >= s (the crawl loop
+        passes the last complete checkpoint's snapshot id so resume
+        stays possible). When both are given the MORE conservative
+        bound wins (the union of both retention requests). The current
+        snapshot is always retained. Driver-side file metadata work
+        only — no Spark job.
+
+        Also reclaims ORPHAN roots — dirs a crashed run wrote whose
+        commit never landed (Iceberg's remove_orphan_files). Safe here
+        because the catalog is single-writer (one driver loop): there
+        is never an in-flight write racing an expire."""
+        cur = self.current_snapshot(table)
+        stats = {"expired": [], "deleted_roots": 0, "deleted_parts": 0,
+                 "bytes_reclaimed": 0}
+        if cur is None:
+            return stats
+        bounds = []
+        if keep_last is not None:
+            bounds.append(cur - max(keep_last, 1) + 1)
+        if retain_from is not None:
+            bounds.append(retain_from)
+        if not bounds:
+            return stats
+        bound = min(min(bounds), cur)
+        live = self.snapshots(table)
+        retained = [s for s in live if s >= bound]
+        expired = [s for s in live if s < bound]
+        if not expired:
+            return stats
+        # referenced roots: root -> set of bucket parts, or WHOLE
+        WHOLE = True
+        refs: dict[str, object] = {}
+        for s in retained:
+            for entry in self._manifest(table, s)["dirs"]:
+                if isinstance(entry, str):
+                    refs[entry] = WHOLE
+                else:
+                    root = entry["root"]
+                    if refs.get(root) is not WHOLE:
+                        refs.setdefault(root, set()).update(entry["parts"])
+
+        def _du(path: str) -> int:
+            total = 0
+            for r, _d, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(r, f))
+                    except OSError:
+                        pass
+            return total
+
+        data = os.path.join(self._tdir(table), "data")
+        if os.path.isdir(data):
+            for name in os.listdir(data):
+                root = os.path.join(data, name)
+                ref = refs.get(root)
+                if ref is None:
+                    stats["bytes_reclaimed"] += _du(root)
+                    shutil.rmtree(root, ignore_errors=True)
+                    stats["deleted_roots"] += 1
+                elif ref is not WHOLE:
+                    # partially referenced: drop unreferenced bucket dirs
+                    for part in os.listdir(root):
+                        p = os.path.join(root, part)
+                        if (part.startswith(f"{BUCKET_COL}=")
+                                and os.path.isdir(p) and part not in ref):
+                            stats["bytes_reclaimed"] += _du(p)
+                            shutil.rmtree(p, ignore_errors=True)
+                            stats["deleted_parts"] += 1
+        for s in expired:
+            try:
+                os.remove(os.path.join(self._meta(table), f"v{s}.json"))
+                stats["expired"].append(s)
+            except OSError:
+                pass
+        return stats
+
     def rollback(self, table: str, snapshot_id: int) -> int:
         """Re-publish an old snapshot as current (Iceberg rollback_to_snapshot).
         Used by resume to restore the table vector recorded in the last

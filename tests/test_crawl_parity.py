@@ -188,6 +188,64 @@ def test_resume_from_checkpoint(spark, tmp_path, corpus, golden):
     assert s_frontier == g_frontier == set()
 
 
+def test_crawl_with_maintenance_parity_and_resume(spark, tmp_path, corpus, golden):
+    """maintenance_every=1 (compact + expire after every round) must be
+    result-invisible — full golden parity — while bounding the state
+    tables' data-dir count, and resume must still roll back to the last
+    checkpoint even though maintenance committed snapshots after it."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from gocrawler_spark.tables.catalog import SnapshotCatalog as Cat
+
+    cat, job, history = run_spark_crawl(
+        spark, tmp_path / "maint", corpus, maintenance_every=1
+    )
+    s_seen, s_log, s_items, s_frontier = _spark_state(cat)
+    g_seen, g_log, g_items, g_frontier = _golden_state(golden)
+    assert s_seen == g_seen
+    assert s_log == g_log
+    assert s_items == g_items
+    assert s_frontier == g_frontier == set()
+    # dir growth is bounded: after the final maintenance at most the
+    # compact root plus the last (done-probe) round's deltas remain —
+    # NOT one spray per round
+    for t in ("seen", "fetch_log", "items"):
+        man = cat._manifest(t, cat.current_snapshot(t))
+        assert len(man["dirs"]) <= 3, (t, man["dirs"])
+        roots = os.listdir(os.path.join(cat._tdir(t), "data"))
+        assert len(roots) <= 4, (t, len(roots), golden.rounds)
+        # expired history really is gone from _meta
+        assert len(cat.snapshots(t)) < golden.rounds + 2
+
+    # resume after a crash: maintenance ran after the last checkpoint,
+    # so current > checkpointed snapshot; rollback target must be alive
+    cfg = dict(credit_per_host=CREDIT, salt_parts=4, n_buckets=8,
+               bloom_bits=1 << 18, maintenance_every=1)
+    cat2 = Cat(str(tmp_path / "maint_resume"), spark)
+    job1 = CrawlJob(spark, cat2, corpus[3], CrawlConfig(max_rounds=3, **cfg))
+    job1.init_run(seeds_df(spark, corpus[1]), robots_df(spark, corpus[2]))
+    job1.run(pages_df(spark, corpus[0]))
+    ck = json.loads(
+        cat2.read(f"checkpoints_{job1.run_id}")
+        .orderBy(F.col("round").desc()).limit(1).collect()[0]["snapshots"]
+    )
+    for t, snap in ck.items():
+        assert cat2.current_snapshot(t) >= snap  # maintenance committed after
+        assert snap in cat2.snapshots(t)  # ...but the rollback target is retained
+    garbage = cat2.read("frontier").limit(1).withColumn("url", F.lit("x"))
+    cat2.overwrite("frontier", garbage)
+    job2 = CrawlJob(spark, cat2, corpus[3], CrawlConfig(max_rounds=60, **cfg))
+    job2.resume(pages_df(spark, corpus[0]), robots_df(spark, corpus[2]))
+    r_seen, r_log, r_items, r_frontier = _spark_state(cat2)
+    assert r_seen == g_seen
+    assert r_log == g_log
+    assert r_items == g_items
+    assert r_frontier == set()
+
+
 def test_amazon_profile_crawl(spark, tmp_path):
     """End-to-end loop with the AMAZON profile: exercises the pandas-UDF
     admission path (non-java_safe regexes), result-slot link extraction,
