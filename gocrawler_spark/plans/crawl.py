@@ -959,7 +959,10 @@ class CrawlJob:
         maintenance resumes from the checkpointed (pre-compact) snapshot,
         whose dirs the retention bound keeps alive."""
         stats = {}
-        for t in STATE_TABLES:
+        # host_edges / page_digests (opt-in analytics) also append one
+        # spray per round; they are not checkpointed (resume never rolls
+        # them back), so retain_from defaults to their current snapshot
+        for t in STATE_TABLES + ("host_edges", "page_digests"):
             if not self.cat.exists(t):
                 continue
             retain = self._last_ckpt_snaps.get(t, self.cat.current_snapshot(t))

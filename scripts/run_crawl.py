@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--archive-dir", default=None,
                     help="also write WARC segments per round + a CDX index "
                          "over the whole run (Common Crawl artifact set)")
+    ap.add_argument("--maintenance-every", type=int, default=0,
+                    help="compact state tables and expire pre-checkpoint "
+                         "snapshots every N rounds (0 = off); bounds "
+                         "file/manifest growth on long runs")
     args = ap.parse_args()
 
     spark = get_spark(cpus=args.cpus, app_name="gocrawler-crawl")
@@ -55,7 +59,8 @@ def main():
     pages.count()
 
     cfg = CrawlConfig(credit_per_host=args.credit, max_rounds=args.max_rounds,
-                      max_depth=args.max_depth, archive_dir=args.archive_dir)
+                      max_depth=args.max_depth, archive_dir=args.archive_dir,
+                      maintenance_every=args.maintenance_every)
     job = CrawlJob(spark, cat, profile, cfg)
     # production path: rules parsed from rendered /robots.txt bodies
     # (temoto/robotstxt semantics), same as entry()

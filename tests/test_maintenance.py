@@ -143,6 +143,34 @@ def test_expire_prunes_unreferenced_bucket_parts(spark, tmp_path):
     assert _rows(cat, "t") == expect
 
 
+def test_maintain_covers_analytics_tables(spark, tmp_path):
+    """host_edges / page_digests (opt-in rank_hosts / recrawl_budget
+    analytics) append one spray per round but are never checkpointed;
+    CrawlJob.maintain must fold and expire them too — a crawl's
+    steady-state cleans round R-1's sprays during round R's maintenance,
+    so two maintain() calls here reach the fully-reclaimed fixpoint."""
+    from gocrawler_spark.plans.crawl import CrawlConfig, CrawlJob
+    from gocrawler_spark.profiles import MIXUP
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    for t, ddl in (("host_edges", "src string, dst string, weight long, round int"),
+                   ("page_digests", "url string, round int, digest string")):
+        for i in range(4):
+            row = [(f"h{i}", f"h{i+1}", 1, i)] if t == "host_edges" else [(f"u{i}", i, f"d{i}")]
+            df = spark.createDataFrame(row, ddl)
+            (cat.overwrite if i == 0 else cat.append)(t, df)
+        assert len(cat._manifest(t, cat.current_snapshot(t))["dirs"]) == 4
+
+    job = CrawlJob(spark, cat, MIXUP, CrawlConfig(maintenance_every=1))
+    job.maintain()
+    job.maintain()
+    for t in ("host_edges", "page_digests"):
+        man = cat._manifest(t, cat.current_snapshot(t))
+        assert man["op"] == "compact" and len(man["dirs"]) == 1
+        assert len(_data_roots(cat, t)) == 1
+        assert cat.read(t).count() == 4  # content intact
+
+
 def test_retain_from_keeps_resume_window(spark, tmp_path):
     cat = SnapshotCatalog(str(tmp_path), spark)
     for i in range(5):
