@@ -1895,23 +1895,59 @@ _ANCHOR_LINKS_SQL = (
     "'h' || (user_id % 23) AS src_host FROM events"
 )
 
-_ANCHOR_ORACLE = (
+# BM25 probe queries for the retrieval leg: fixed literals drawn from
+# the synthetic documents vocabulary (one with an OOV term, one single-term)
+_BM25_QUERIES = [
+    (0, "fast table scan"),
+    (1, "window merge batch"),
+    (2, "spark join"),
+    (3, "vector"),
+    (4, "quantum stream"),  # 'quantum' is out-of-vocabulary
+]
+_BM25_QUERIES_SQL = "VALUES " + ", ".join(
+    f"({i}, '{t}')" for i, t in _BM25_QUERIES
+)
+
+_ANCHOR_BM25_ORACLE = (
+    # two top-k relevance legs, tagged (round-5 merge): the anchor-text
+    # aggregation (off-page signal) and BM25 retrieval over documents
+    # (operators/retrieval) — the full index+score+rank pipeline
+    # recomputed in SQL; ranks order by the 6dp-rounded score so float
+    # sum-order ulps cannot flip them cross-engine
     f"WITH links AS ({_ANCHOR_LINKS_SQL}), "
     "norm AS (SELECT dst_url AS dst, lower(regexp_replace(trim(anchor_text), '\\s+', ' ', 'g')) AS anchor, src_host FROM links), "
     "agg AS (SELECT dst, anchor, count(*) AS n_links, count(DISTINCT src_host) AS n_hosts "
-    " FROM norm WHERE anchor <> '' GROUP BY 1, 2) "
-    "SELECT dst, anchor, n_links, n_hosts, cast(rn AS int) AS rn FROM ("
+    " FROM norm WHERE anchor <> '' GROUP BY 1, 2), "
+    "anchor_leg AS (SELECT 'anchor' AS leg, dst AS key, anchor AS item, n_links AS n1, n_hosts AS n2, "
+    " cast(0.0 AS double) AS s6, cast(rn AS int) AS rn FROM ("
     " SELECT *, row_number() OVER (PARTITION BY dst ORDER BY n_links DESC, n_hosts DESC, anchor) AS rn FROM agg)"
-    " WHERE rn <= 3"
+    " WHERE rn <= 3), "
+    "tok AS (SELECT doc_id AS doc, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term FROM documents), "
+    "post AS (SELECT term, doc, count(*) AS tf FROM tok GROUP BY 1, 2), "
+    "dls AS (SELECT doc, sum(tf) AS dl FROM post GROUP BY 1), "
+    "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls), "
+    "dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1), "
+    f"qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split_regex(lower(query_text), '\\s+'), x -> x <> '')) AS term FROM ({_BM25_QUERIES_SQL}) AS q(query_id, query_text)), "
+    "qi AS (SELECT query_id, term, ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf FROM qt JOIN dfreq USING (term), stats), "
+    "sc AS (SELECT query_id, doc, dl, round(sum(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score6 "
+    " FROM post JOIN dls USING (doc) JOIN qi USING (term), stats GROUP BY 1, 2, 3), "
+    "bm_leg AS (SELECT 'bm25' AS leg, cast(query_id AS varchar) AS key, cast(doc AS varchar) AS item, "
+    " cast(dl AS bigint) AS n1, cast(0 AS bigint) AS n2, score6 AS s6, cast(rn AS int) AS rn FROM ("
+    " SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc) AS rn FROM sc) WHERE rn <= 5) "
+    "SELECT * FROM anchor_leg UNION ALL SELECT * FROM bm_leg"
 )
 
 
-@_q("q59_anchor_topk", _ANCHOR_ORACLE)
+@_q("q59_anchor_bm25_topk", _ANCHOR_BM25_ORACLE)
 def q59(spark, sf):
-    # off-page anchor-text aggregation (operators/graph.anchor_text_topk)
-    # over links derived from events; anchors vary in case/whitespace so
-    # the normalize-then-merge step is exercised
+    # two tagged top-k relevance legs: off-page anchor-text aggregation
+    # (operators/graph.anchor_text_topk) over links derived from events
+    # — anchors vary in case/whitespace so the normalize-then-merge step
+    # is exercised — and BM25 retrieval (operators/retrieval) over the
+    # documents table with fixed probe queries (inverted-index build +
+    # Lucene-idf scoring + WindowGroupLimit top-k)
     from gocrawler_spark.operators.graph import anchor_text_topk
+    from gocrawler_spark.operators.retrieval import bm25_topk, build_bm25_index
 
     e = _t(spark, sf, "events")
     links = e.select(
@@ -1925,7 +1961,26 @@ def q59(spark, sf):
         .alias("anchor_text"),
         F.concat(F.lit("h"), (F.col("user_id") % 23).cast("string")).alias("src_host"),
     )
-    return anchor_text_topk(links, k=3)
+    anchor_leg = anchor_text_topk(links, k=3).select(
+        F.lit("anchor").alias("leg"),
+        F.col("dst").alias("key"),
+        F.col("anchor").alias("item"),
+        F.col("n_links").cast("bigint").alias("n1"),
+        F.col("n_hosts").cast("bigint").alias("n2"),
+        F.lit(0.0).alias("s6"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    bm_leg = bm25_topk(build_bm25_index(_t(spark, sf, "documents")), qdf, k=5).select(
+        F.lit("bm25").alias("leg"),
+        F.col("query_id").cast("string").alias("key"),
+        F.col("doc").cast("string").alias("item"),
+        F.col("dl").cast("bigint").alias("n1"),
+        F.lit(0).cast("bigint").alias("n2"),
+        F.col("score6").alias("s6"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+    return anchor_leg.unionByName(bm_leg)
 
 
 # trap corpus: users % 4 == 0 crawl two calendar-trap hosts (every URL a

@@ -1,0 +1,156 @@
+"""BM25 full-text retrieval over crawled documents.
+
+The Go reference stores extracted items in Redis and has no search
+surface (`/root/reference/pkg/storage/redis.go` — point lookups only);
+a webtext corpus at 10^10 pages needs ranked retrieval both for serving
+and for corpus analysis (probe-query audits for decontamination, topic
+coverage checks, hard-negative mining for quality classifiers). This
+implements the classic Okapi BM25 ranking (Robertson & Walker, TREC-3)
+with Lucene's non-negative idf variant::
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(q, d) = sum over distinct t in q of
+                  idf(t) * tf_td * (k1 + 1)
+                         / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+Query-side term frequency is intentionally ignored (each DISTINCT query
+term contributes once) — the common engine behavior for short web
+queries.
+
+Tokenization matches the engine-wide convention used by the perplexity
+LM and token stats (lowercase, split on whitespace runs, drop empties)
+so one tokenizer definition covers training, quality filters and
+retrieval.
+
+Scale design (10^10 docs):
+
+* ``build_bm25_index`` is the corpus-wide one-off: ONE explode over the
+  text column (all JVM built-ins — ``split``/``explode``; no Python in
+  the path) feeding two map-side-partial aggregations, (term, doc) → tf
+  and doc → dl. The postings DataFrame IS the inverted index: persisted
+  bucketed-by-term it serves point-term lookups with partition pruning,
+  exactly like the seen-set's bucket layout. df per term and the
+  (N, avgdl) scalars derive from postings/doclens — no extra corpus
+  scan.
+* ``bm25_topk`` joins the tiny distinct (query, term) set against
+  postings ON TERM — a broadcast join (queries are human-scale; the
+  corpus never re-shuffles), so a query batch touches only the postings
+  of its own terms. Per-(query, doc) scoring is one map-side-partial
+  sum; the final top-k is a literal-bounded ``row_number`` window that
+  plans as WindowGroupLimit (map-side partial top-k below the
+  query-key shuffle) — never a global sort.
+* Ranking determinism across engines: doubles summed in different
+  orders differ in the last ulp, so ranks order by the score ROUNDED to
+  6 decimals (ulp-noise-proof) with doc id as the tiebreak. The DuckDB
+  twin (tests + gate oracle) replays the same rounded ordering, making
+  the whole pipeline hash-comparable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["Bm25Index", "build_bm25_index", "bm25_topk"]
+
+# engine-wide tokenizer: lowercase, split on whitespace runs, drop empties
+_WS = r"\s+"
+
+
+def _tokens(col: str) -> F.Column:
+    return F.filter(F.split(F.lower(F.col(col)), _WS), lambda x: x != "")
+
+
+@dataclass
+class Bm25Index:
+    """Inverted index + corpus stats. ``postings`` carries one row per
+    (term, doc) with the term frequency and the doc's length so scoring
+    needs no extra join; ``docfreq`` is vocabulary-sized; ``n_docs`` /
+    ``avgdl`` are the two corpus scalars (avgdl over docs with >= 1
+    token — empty docs can never match and would only dilute the
+    normalization)."""
+
+    postings: DataFrame  # term, doc, tf, dl
+    docfreq: DataFrame  # term, df
+    n_docs: int
+    avgdl: float
+
+
+def build_bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> Bm25Index:
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_tokens(text_col)).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    doclens = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    postings = postings.join(doclens, "doc").select("term", "doc", "tf", "dl")
+    docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    return Bm25Index(
+        postings=postings,
+        docfreq=docfreq,
+        n_docs=int(stats["n"] or 0),
+        avgdl=float(stats["avgdl"] or 0.0),
+    )
+
+
+def bm25_topk(
+    index: Bm25Index,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> DataFrame:
+    """Top-k documents per query by BM25. Returns
+    (query_id, doc, score6, dl, rn) with rn = 1 the best match and
+    score6 the 6-decimal-rounded BM25 score (see module notes on
+    cross-engine rank determinism). Only documents containing at least
+    one query term appear (score > 0 by construction with the Lucene
+    idf, which is non-negative even for df = N)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if index.n_docs == 0:
+        raise ValueError("empty index")
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("query_id"),
+            F.explode(_tokens(qtext_col)).alias("term"),
+        )
+        .distinct()
+        .join(index.docfreq, "term")  # drop out-of-vocabulary terms early
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(index.n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(index.avgdl)
+    )
+    contrib = F.col("idf") * tf * F.lit(k1 + 1.0) / norm
+    scored = (
+        index.postings.join(F.broadcast(qterms), "term")
+        .select("query_id", "doc", "dl", contrib.alias("contrib"))
+        .groupBy("query_id", "doc", "dl")
+        .agg(F.round(F.sum("contrib"), 6).alias("score6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score6").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "doc", "score6", "dl", "rn")
+    )
