@@ -567,6 +567,62 @@ def bench_cdx_index(spark):
     }
 
 
+def bench_bm25(spark):
+    """BM25 retrieval surface: inverted-index build + a 256-query top-k
+    batch over a synthetic 200k-doc corpus (~60 tokens/doc from a 512-word
+    vocabulary, all generated distributed via spark.range — no driver
+    loop). Timed per steady-state convention: one untimed warmup, best
+    of REPS; index build (two map-side-partial aggs + stats scalar) and
+    the broadcast-scored query batch are both inside the timer — the
+    corpus-scan-to-ranked-results path a probe-query audit would pay."""
+    from gocrawler_spark.operators.retrieval import bm25_topk, build_bm25_index
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_BM25_DOCS", "100000"))
+    vocab = F.array(*[F.lit(f"w{v:03d}") for v in range(512)])
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), (F.pmod(F.xxhash64("id"), 41) + 40).cast("int")),
+            lambda i: F.element_at(
+                vocab, (F.pmod(F.xxhash64(F.col("id"), i), 512) + 1).cast("int")
+            ),
+        ),
+    )
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text")).cache()
+    n = docs.count()
+    queries = spark.range(128).select(
+        F.col("id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.element_at(vocab, (F.pmod(F.xxhash64("id", F.lit(1)), 512) + 1).cast("int")),
+            F.element_at(vocab, (F.pmod(F.xxhash64("id", F.lit(2)), 512) + 1).cast("int")),
+            F.element_at(vocab, (F.pmod(F.xxhash64("id", F.lit(3)), 512) + 1).cast("int")),
+        ).alias("query_text"),
+    ).cache()
+    queries.count()
+
+    def run():
+        idx = build_bm25_index(docs)
+        return bm25_topk(idx, queries, k=10).count()
+
+    for _ in range(WARMUP):
+        run()
+    best, n_hits = None, 0
+    for _ in range(REPS):
+        t0 = time.time()
+        n_hits = run()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    docs.unpersist()
+    queries.unpersist()
+    return best, {
+        "docs": n,
+        "queries": 128,
+        "topk_rows": n_hits,
+        "docs_per_sec": round(n / best, 1),
+    }
+
+
 def main():
     spark = get_spark(cpus=CPUS, app_name="gocrawler-bench",
                       shuffle_partitions=max(CPUS * 2, 16))
@@ -582,6 +638,7 @@ def main():
         "quality_dsir": bench_quality_dsir,
         "semdedup": bench_semdedup,
         "cdx_index": bench_cdx_index,
+        "bm25": bench_bm25,
     }
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     times, extras = {}, {}
