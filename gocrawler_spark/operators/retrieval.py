@@ -53,7 +53,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["Bm25Index", "build_bm25_index", "bm25_topk"]
+__all__ = [
+    "Bm25Index",
+    "build_bm25_index",
+    "bm25_topk",
+    "write_bm25_index",
+    "read_bm25_index",
+]
 
 # engine-wide tokenizer: lowercase, split on whitespace runs, drop empties
 _WS = r"\s+"
@@ -97,6 +103,63 @@ def build_bm25_index(
         docfreq=docfreq,
         n_docs=int(stats["n"] or 0),
         avgdl=float(stats["avgdl"] or 0.0),
+    )
+
+
+_STATS_DDL = "n_docs long, avgdl double"
+
+
+def write_bm25_index(cat, index: Bm25Index, name: str = "bm25",
+                     n_buckets: int = 64) -> None:
+    """Persist the index as catalog tables — the serving path. The
+    postings table is bucket-partitioned on term (the same Iceberg-style
+    ``bucket(N, col)`` layout the seen-set uses), so a query batch reads
+    only its own terms' buckets (see :func:`read_bm25_index`); docfreq
+    is vocabulary-sized and stays unpartitioned; the two corpus scalars
+    land via a driver-side row append (no Spark job). Re-writing under
+    the same name replaces the index (snapshot-versioned, so readers of
+    the previous snapshot are unaffected — the catalog's time travel)."""
+    from ..tables.catalog import BUCKET_COL, bucket_of
+
+    post = index.postings.withColumn(BUCKET_COL, bucket_of(F.col("term"), n_buckets))
+    cat.overwrite(f"{name}_postings", post, partition_by=BUCKET_COL,
+                  bucket_spec=("term", n_buckets))
+    cat.overwrite(f"{name}_docfreq", index.docfreq)
+    if cat.exists(f"{name}_stats"):
+        cat.drop(f"{name}_stats")
+    cat.append_local_rows(f"{name}_stats",
+                          [(index.n_docs, float(index.avgdl))], _STATS_DDL)
+
+
+def read_bm25_index(cat, name: str = "bm25",
+                    query_terms: list[str] | None = None) -> Bm25Index:
+    """Load a persisted index. With ``query_terms``, the postings read
+    is PRUNED to those terms' buckets (hive partition filter on the
+    bucket column → the scan never opens other buckets' files — at
+    archive scale that is the difference between touching ~k/N_buckets
+    of the index and a full scan per query batch). Scores are identical
+    to the unpruned index: postings of non-query terms can never join a
+    query term. docfreq and the corpus scalars are global inputs and
+    load whole (vocabulary-sized and 1 row)."""
+    from ..tables.catalog import BUCKET_COL, bucket_of
+
+    post = cat.read(f"{name}_postings")
+    if query_terms is not None:
+        spec = cat.bucket_spec(f"{name}_postings")
+        if spec:
+            n_b = int(spec[1])
+            terms = sorted({t.lower() for t in query_terms})
+            tdf = cat.spark.createDataFrame([(t,) for t in terms], "term string")
+            buckets = sorted(
+                {r[0] for r in tdf.select(bucket_of(F.col("term"), n_b).alias("b")).collect()}
+            )
+            post = post.where(F.col(BUCKET_COL).isin(buckets))
+    stats = cat.read(f"{name}_stats").first()
+    return Bm25Index(
+        postings=post.drop(BUCKET_COL),
+        docfreq=cat.read(f"{name}_docfreq"),
+        n_docs=int(stats["n_docs"]),
+        avgdl=float(stats["avgdl"]),
     )
 
 

@@ -85,6 +85,41 @@ def test_topk_rank_and_ties(spark, index):
         bm25_topk(index, queries, k=0)
 
 
+def test_persisted_index_roundtrip_and_bucket_pruning(spark, tmp_path, index):
+    """write_bm25_index / read_bm25_index: same ranked results from the
+    catalog-backed index, and a query-terms read prunes the postings
+    scan to the terms' bucket partitions (PartitionFilters, not a
+    post-scan filter)."""
+    from gocrawler_spark.operators.retrieval import (
+        read_bm25_index, write_bm25_index,
+    )
+    from gocrawler_spark.tables.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    write_bm25_index(cat, index, name="ix", n_buckets=8)
+    queries = spark.createDataFrame(
+        [(1, "fast join"), (2, "merge")], "query_id long, query_text string"
+    )
+    expect = sorted(map(tuple, bm25_topk(index, queries, k=10).collect()))
+
+    loaded = read_bm25_index(cat, name="ix")
+    assert loaded.n_docs == index.n_docs
+    assert loaded.avgdl == pytest.approx(index.avgdl)
+    got = sorted(map(tuple, bm25_topk(loaded, queries, k=10).collect()))
+    assert got == expect
+
+    pruned = read_bm25_index(cat, name="ix", query_terms=["fast", "join", "merge"])
+    got_pruned = sorted(map(tuple, bm25_topk(pruned, queries, k=10).collect()))
+    assert got_pruned == expect
+    plan = pruned.postings._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket#" in plan
+    # the pruned scan reads a strict subset of the postings rows (the
+    # corpus has more terms than the query's three, spread over 8 buckets)
+    n_all = cat.read("ix_postings").count()
+    n_pruned = pruned.postings.count()
+    assert 0 < n_pruned < n_all
+
+
 def test_duckdb_twin_full_pipeline(spark):
     """The whole index+score+rank pipeline replayed in DuckDB on the
     sf0.001 documents table — same recipe as the gate oracle (rounded
