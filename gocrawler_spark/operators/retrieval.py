@@ -58,6 +58,7 @@ __all__ = [
     "build_bm25_index",
     "bm25_topk",
     "write_bm25_index",
+    "append_bm25_index",
     "read_bm25_index",
 ]
 
@@ -129,6 +130,40 @@ def write_bm25_index(cat, index: Bm25Index, name: str = "bm25",
         cat.drop(f"{name}_stats")
     cat.append_local_rows(f"{name}_stats",
                           [(index.n_docs, float(index.avgdl))], _STATS_DDL)
+
+
+def append_bm25_index(cat, new_docs: DataFrame, name: str = "bm25",
+                      id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Incremental index maintenance — the crawl's shape: each round
+    appends newly fetched documents, so the index grows by appending the
+    NEW docs' postings (tokenize + aggregate over the new batch only —
+    never a corpus re-scan) into the bucketed postings table, then
+    re-deriving docfreq and the two corpus scalars from the postings
+    table itself (term-cardinality work, a tiny fraction of a corpus
+    scan; this is exactly how the stats stay consistent without reading
+    any document twice).
+
+    Contract: ``new_docs`` ids must be NEW (the crawl's items table is
+    keyed and re-crawls go through upsert, not append) — appending an
+    existing doc_id would double its postings, same as appending a
+    duplicate row to any Iceberg table."""
+    from ..tables.catalog import BUCKET_COL, bucket_of
+
+    spec = cat.bucket_spec(f"{name}_postings")
+    n_buckets = int(spec[1]) if spec else 64
+    delta = build_bm25_index(new_docs, id_col=id_col, text_col=text_col)
+    post = delta.postings.withColumn(BUCKET_COL, bucket_of(F.col("term"), n_buckets))
+    cat.append(f"{name}_postings", post, partition_by=BUCKET_COL,
+               bucket_spec=("term", n_buckets))
+    merged = cat.read(f"{name}_postings")
+    cat.overwrite(f"{name}_docfreq",
+                  merged.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    doclens = merged.groupBy("doc").agg(F.first("dl").alias("dl"))
+    stats = doclens.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).first()
+    if cat.exists(f"{name}_stats"):
+        cat.drop(f"{name}_stats")
+    cat.append_local_rows(f"{name}_stats",
+                          [(int(stats["n"]), float(stats["avgdl"]))], _STATS_DDL)
 
 
 def read_bm25_index(cat, name: str = "bm25",

@@ -120,6 +120,36 @@ def test_persisted_index_roundtrip_and_bucket_pruning(spark, tmp_path, index):
     assert 0 < n_pruned < n_all
 
 
+def test_incremental_append_equals_scratch_rebuild(spark, tmp_path):
+    """append_bm25_index over per-round doc batches must rank exactly
+    like an index built from scratch over the union — df, n_docs and
+    avgdl all re-derived from the postings table, never a corpus
+    re-scan."""
+    from gocrawler_spark.operators.retrieval import (
+        append_bm25_index, read_bm25_index, write_bm25_index,
+    )
+    from gocrawler_spark.tables.catalog import SnapshotCatalog
+
+    batch1 = DOCS[:3]
+    batch2 = [(10, "join fast fast window"), (11, "scan scan table")]
+    d1 = spark.createDataFrame(batch1, "doc_id long, text string")
+    d2 = spark.createDataFrame(batch2, "doc_id long, text string")
+    cat = SnapshotCatalog(str(tmp_path), spark)
+    write_bm25_index(cat, build_bm25_index(d1), name="ix", n_buckets=8)
+    append_bm25_index(cat, d2, name="ix")
+
+    queries = spark.createDataFrame(
+        [(1, "fast join"), (2, "table scan")], "query_id long, query_text string"
+    )
+    got = sorted(map(tuple, bm25_topk(read_bm25_index(cat, "ix"), queries, k=10).collect()))
+    scratch = build_bm25_index(d1.unionByName(d2))
+    expect = sorted(map(tuple, bm25_topk(scratch, queries, k=10).collect()))
+    assert got == expect
+    # pruned read over the appended (multi-spray) table still correct
+    pruned = read_bm25_index(cat, "ix", query_terms=["fast", "join", "table", "scan"])
+    assert sorted(map(tuple, bm25_topk(pruned, queries, k=10).collect())) == expect
+
+
 def test_duckdb_twin_full_pipeline(spark):
     """The whole index+score+rank pipeline replayed in DuckDB on the
     sf0.001 documents table — same recipe as the gate oracle (rounded
