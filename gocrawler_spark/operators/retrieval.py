@@ -1,7 +1,8 @@
 """BM25 full-text retrieval over crawled documents.
 
 The Go reference stores extracted items in Redis and has no search
-surface (`/root/reference/pkg/storage/redis.go` — point lookups only);
+surface (`/root/reference/pkg/storage/redis/repository.go:95-248` —
+Get by id / Scan by cursor, point lookups only);
 a webtext corpus at 10^10 pages needs ranked retrieval both for serving
 and for corpus analysis (probe-query audits for decontamination, topic
 coverage checks, hard-negative mining for quality classifiers). This
