@@ -525,6 +525,7 @@ def embedding_cosine_dups(
     # plan as literals — real random projections, unlike an LCG pattern
     # whose linear structure correlates the planes and wrecks recall
     hp = np.random.RandomState(0xC0FFEE % (2**32)).randn(n_bits, dims)
+
     planes = [
         F.array(*[F.lit(float(hp[b, d])) for d in range(dims)])
         for b in range(n_bits)
@@ -539,23 +540,28 @@ def embedding_cosine_dups(
         for i in range(band * bits_per_band, (band + 1) * bits_per_band):
             sk = bits[i] if sk is None else sk + bits[i]
         band_sketches.append(F.struct(F.lit(band).alias("band"), sk.alias("bsk")))
+    # per-vector norm computed ONCE (before the band explode replicates
+    # the row n_bands ways), carried to the verify stage
     e = emb.select(
         F.col(id_col),
         F.col(vec_col),
+        _vec_norm(F.col(vec_col)).alias("_nrm"),
         F.explode(F.array(*band_sketches)).alias("bb"),
-    ).select(id_col, vec_col, "bb.band", "bb.bsk")
-    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "band", "bsk")
-    b2 = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "band", "bsk")
+    ).select(id_col, vec_col, "_nrm", "bb.band", "bb.bsk")
+    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                 F.col("_nrm").alias("na"), "band", "bsk")
+    b2 = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                  F.col("_nrm").alias("nb"), "band", "bsk")
     cands = (
         a.join(b2, ["band", "bsk"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
+        .select("a", "b", "va", "vb", "na", "nb")
         .dropDuplicates(["a", "b"])  # a pair may collide in several bands
     )
     return (
         cands.withColumn(
             "cosine",
-            F.round(_vec_dot(F.col("va"), F.col("vb")) / (_vec_norm(F.col("va")) * _vec_norm(F.col("vb"))), 6),
+            F.round(_vec_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
@@ -772,7 +778,18 @@ def _blocked_cell_pairs(assigned: DataFrame, cell_cap: int) -> DataFrame:
     is ~cell_cap², independent of the largest cell, and total work is
     unchanged (SemDeDup semantics need every within-cell pair). Cells
     of size <= cell_cap get g=1, which reduces to the plain self-join.
+
+    Side columns: ``_v`` (always) and, when present, the precomputed
+    per-vector norm ``_n`` (r6) are carried as ``_va/_vb`` and
+    ``_na/_nb`` — the verify stage then multiplies two cached norms
+    instead of re-folding 2×dims elements per pair. Direct callers with
+    a bare (_id, _v, centroid_id) frame keep the old output shape.
     """
+    carry = [c for c in ("_v", "_n") if c in assigned.columns]
+
+    def side(tag: str):
+        return [F.col(c).alias(f"{c}{tag}") for c in carry]
+
     sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("_csz"))
     # one metadata-scale agg over the checkpointed assignment decides the
     # path: the common (unskewed) case pays NO row replication and no
@@ -788,12 +805,8 @@ def _blocked_cell_pairs(assigned: DataFrame, cell_cap: int) -> DataFrame:
         h["cells"], h["mx"] or 0, h["avg"] or 0.0, h["over"] or 0, cell_cap,
     )
     if (h["mx"] or 0) <= cell_cap:
-        a = assigned.select(
-            F.col("_id").alias("a"), F.col("_v").alias("_va"), "centroid_id"
-        )
-        b = assigned.select(
-            F.col("_id").alias("b"), F.col("_v").alias("_vb"), "centroid_id"
-        )
+        a = assigned.select(F.col("_id").alias("a"), *side("a"), "centroid_id")
+        b = assigned.select(F.col("_id").alias("b"), *side("b"), "centroid_id")
         return a.join(b, "centroid_id").where(F.col("a") < F.col("b"))
     blocks = sizes.select(
         "centroid_id",
@@ -804,14 +817,14 @@ def _blocked_cell_pairs(assigned: DataFrame, cell_cap: int) -> DataFrame:
     left = sized.select(
         "centroid_id",
         F.col("_id").alias("a"),
-        F.col("_v").alias("_va"),
+        *side("a"),
         blk.alias("_lo"),
         F.explode(F.sequence(blk, F.col("_g") - 1)).alias("_hi"),
     )
     right = sized.select(
         "centroid_id",
         F.col("_id").alias("b"),
-        F.col("_v").alias("_vb"),
+        *side("b"),
         F.explode(F.sequence(F.lit(0), blk)).alias("_lo"),
         blk.alias("_hi"),
     )
@@ -821,8 +834,8 @@ def _blocked_cell_pairs(assigned: DataFrame, cell_cap: int) -> DataFrame:
         .select(
             F.least("a", "b").alias("a"),
             F.greatest("a", "b").alias("b"),
-            F.col("_va"),
-            F.col("_vb"),
+            *[F.col(f"{c}a") for c in carry],
+            *[F.col(f"{c}b") for c in carry],
             "centroid_id",
         )
     )
@@ -861,9 +874,15 @@ def semdedup_pairs(
     cents = kmeans_centroids(
         emb, n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
+    # r6 plan shape: each vector's norm is computed ONCE here and
+    # checkpointed with the assignment; the within-cell verify then
+    # multiplies two cached norms per pair instead of re-folding 2×dims
+    # elements per pair (a 3x cut of the verify stage's fold work).
+    # Values are bit-identical — same per-row norm expression.
     assigned = (
         ivf_assign(emb, cents, vec_col=vec_col, id_col=id_col)
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                _vec_norm(F.col(vec_col)).alias("_n"),
                 "centroid_id")
         .localCheckpoint()
     )
@@ -871,14 +890,16 @@ def semdedup_pairs(
         paired = _blocked_cell_pairs(assigned, int(cell_cap))
     else:
         a = assigned.select(
-            F.col("_id").alias("a"), F.col("_v").alias("_va"), "centroid_id"
+            F.col("_id").alias("a"), F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"), "centroid_id"
         )
         b = assigned.select(
-            F.col("_id").alias("b"), F.col("_v").alias("_vb"), "centroid_id"
+            F.col("_id").alias("b"), F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"), "centroid_id"
         )
         paired = a.join(b, "centroid_id").where(F.col("a") < F.col("b"))
     cos = _vec_dot(F.col("_va"), F.col("_vb")) / (
-        _vec_norm(F.col("_va")) * _vec_norm(F.col("_vb"))
+        F.col("_na") * F.col("_nb")
     )
     return (
         paired.withColumn("cos", cos)

@@ -71,6 +71,13 @@ class BigramLM:
     k: float
     logp_oov: float
     _counts: DataFrame | None = None
+    # distinct bigram count, probed at fit time: lets `perplexity` make
+    # the broadcast decision from the TRUE model size instead of
+    # Catalyst's estimate for a post-aggregation subtree (guide §3.1:
+    # "estimates are often badly wrong after filters or UDFs — use an
+    # explicit broadcast when you know a side is small"). None = unknown
+    # (hand-built models): the joins stay planner-chosen.
+    n_entries: int | None = None
 
     def unpersist(self) -> None:
         """Release the cached bigram-count table backing both model DFs."""
@@ -95,8 +102,13 @@ def train_bigram_lm(corpus: DataFrame, text_col: str = "text",
         .cache()
     )
     # V over actual tokens (w2 side: <s> is never a continuation), +1
-    # for the shared unseen type. This action also materializes the cache.
-    v = counts.agg(F.countDistinct("w2").alias("v")).collect()[0]["v"] + 1
+    # for the shared unseen type, and the model row count for the
+    # scoring joins' broadcast gate. One aggregation over the cached
+    # counts probes both (this action also materializes the cache).
+    probe = counts.agg(
+        F.countDistinct("w2").alias("v"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    v = probe["v"] + 1
     ctx = counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     bi = counts.join(ctx, "w1").select(
         "w1", "w2",
@@ -105,7 +117,8 @@ def train_bigram_lm(corpus: DataFrame, text_col: str = "text",
     ctx_unseen = ctx.select(
         "w1", F.log(F.lit(k) / (F.col("c1") + k * v)).alias("ctx_logp_unseen")
     )
-    return BigramLM(bi, ctx_unseen, v, k, math.log(1.0 / v), counts)
+    return BigramLM(bi, ctx_unseen, v, k, math.log(1.0 / v), counts,
+                    n_entries=int(probe["n"]))
 
 
 def perplexity(docs: DataFrame, lm: BigramLM, id_col: str = "doc_id",
@@ -121,9 +134,18 @@ def perplexity(docs: DataFrame, lm: BigramLM, id_col: str = "doc_id",
         F.col(id_col),
         F.explode_outer(_doc_bigrams(F.col(text_col))).alias("g"),
     ).select(id_col, "g.w1", "g.w2")
+    # broadcast the model when its TRUE fit-time row count says it fits
+    # (guide §3.1): Catalyst's size estimate for the aggregated/joined
+    # model subtree is corpus-derived and routinely overshoots, falling
+    # back to sort-merge — which shuffles the corpus-sized gram stream
+    # twice for a model-sized build side. 4M entries ≈ low hundreds of
+    # MB built; bigger models keep the planner's choice (scale-safe).
+    bi, ctx = lm.bigram_logp, lm.context_logp
+    if lm.n_entries is not None and lm.n_entries <= 4_000_000:
+        bi, ctx = F.broadcast(bi), F.broadcast(ctx)
     scored = (
-        grams.join(lm.bigram_logp, ["w1", "w2"], "left")
-        .join(lm.context_logp, ["w1"], "left")
+        grams.join(bi, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
         .select(
             id_col,
             F.when(

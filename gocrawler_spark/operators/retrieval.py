@@ -89,17 +89,38 @@ class Bm25Index:
 def build_bm25_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> Bm25Index:
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(_tokens(text_col)).alias("term"),
+    """One tokenize pass, ONE shuffle (guide §2.4).
+
+    ``dl`` (doc token count) is projected from the token array at
+    tokenization time and rides the (term, doc) aggregation as a
+    ``min`` (constant per doc), instead of being re-derived from the
+    postings with a second groupBy(doc) + a join back onto the postings
+    — that join re-shuffled the whole postings table by doc for a value
+    already known at the scan. ``sum(tf) over terms of a doc`` equals
+    ``size(tokens)`` exactly (every exploded token lands in exactly one
+    (term, doc) group), so the dl values are identical. The (N, avgdl)
+    corpus scalars likewise come straight from the doc scan — a
+    shuffle-free partial aggregation instead of a full postings build
+    for two scalars. Contract (unchanged, same as append_bm25_index):
+    doc ids are unique."""
+    tok_arr = docs.select(F.col(id_col).alias("doc"), _tokens(text_col).alias("_t"))
+    toks = tok_arr.select(
+        "doc",
+        F.size("_t").alias("dl"),
+        F.explode("_t").alias("term"),
     )
-    postings = toks.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
-    doclens = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
-    postings = postings.join(doclens, "doc").select("term", "doc", "tf", "dl")
+    postings = (
+        toks.groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
+        .select("term", "doc", "tf", "dl")
+    )
     docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = doclens.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
+    stats = (
+        tok_arr.select(F.size("_t").alias("dl"))
+        .where(F.col("dl") > 0)  # empty docs never enter the postings
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .first()
+    )
     return Bm25Index(
         postings=postings,
         docfreq=docfreq,
@@ -183,8 +204,16 @@ def read_bm25_index(cat, name: str = "bm25",
     if query_terms is not None:
         spec = cat.bucket_spec(f"{name}_postings")
         if spec:
+            import re as _re
+
             n_b = int(spec[1])
-            terms = sorted({t.lower() for t in query_terms})
+            # run each entry through the engine tokenizer (split on
+            # whitespace runs, drop empties): a multi-word entry like
+            # 'fast join' hashed as ONE term would prune to the wrong
+            # bucket and silently return partial results (ADVICE r5)
+            terms = sorted(
+                {w for t in query_terms for w in _re.split(r"\s+", t.lower()) if w}
+            )
             tdf = cat.spark.createDataFrame([(t,) for t in terms], "term string")
             buckets = sorted(
                 {r[0] for r in tdf.select(bucket_of(F.col("term"), n_b).alias("b")).collect()}

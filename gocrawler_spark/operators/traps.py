@@ -102,13 +102,20 @@ def host_trap_stats(
     `max_urls_per_template`-or-more of them. Null-host rows (relative /
     junk URLs) are excluded — admission drops them anyway.
     """
+    # distinct FIRST, on the url alone: host and template are
+    # deterministic functions of the url, so distinct(url) ≡
+    # distinct(host, template, url) and the counts are identical — but
+    # the one frontier-sized shuffle now carries only the url bytes
+    # (guide §2.3 "project before the exchange": the template string
+    # roughly doubled each shuffled row), and the regex templating runs
+    # AFTER the dedup, once per distinct url instead of once per row.
     per_template = (
-        url_templates(urls, url_col)
+        url_templates(
+            urls.select(F.col(url_col).alias("url")).distinct(), "url"
+        )
         # null host = no scheme (parse_url contract); '' = empty
         # authority ('https:///x') — neither is crawlable
         .where(F.col("host").isNotNull() & (F.col("host") != ""))
-        .select("host", "template", F.col(url_col).alias("url"))
-        .distinct()
         .groupBy("host", "template")
         .agg(F.count(F.lit(1)).alias("t_urls"))
     )

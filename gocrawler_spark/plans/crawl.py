@@ -969,9 +969,17 @@ class CrawlJob:
             self.cat.compact(t)
             stats[t] = self.cat.expire_snapshots(t, retain_from=retain)
         # the checkpoint table itself accumulates one 1-row file per
-        # round; fold it too (never expired — it is the resume log)
+        # round; fold it too, then expire its superseded snapshots: the
+        # compacted CURRENT snapshot carries the full resume log, and
+        # resume only ever reads the current snapshot, so older
+        # checkpoint-table roots/manifests are unreachable — without
+        # this the checkpoint dir's file count still grew O(rounds) on
+        # exactly the long runs maintenance bounds (ADVICE r5)
         if self.cat.exists(self._ckpt_table()):
             self.cat.compact(self._ckpt_table())
+            stats[self._ckpt_table()] = self.cat.expire_snapshots(
+                self._ckpt_table(), keep_last=1
+            )
         return stats
 
     # ---------------------------------------------------------------- loop

@@ -150,6 +150,7 @@ def write_cdx(
     gzip_shards: bool = True,
     prefix: str = "cdx",
     block_size: int = 3000,
+    gzip_level: int = 6,
 ) -> list[dict]:
     """Write a sorted, sharded CDXJ index + cluster.idx from WARC
     per-record index rows. EAGER (unlike the other sinks): cluster.idx
@@ -175,6 +176,10 @@ def write_cdx(
         cdx_lines(records)
         .repartitionByRange(n_shards, "urlkey", "ts")
         .sortWithinPartitions("urlkey", "ts")
+        # the writer reads only (urlkey, line): dropping ts AFTER the
+        # sort keeps it out of the Arrow crossing (guide §4.1: pass only
+        # the columns the function needs)
+        .select("urlkey", "line")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -219,9 +224,16 @@ def write_cdx(
                         blk_first = keys[i]
                         if gzip_shards:
                             # mtime=0, no filename field: identical
-                            # input -> byte-identical shard
+                            # input -> byte-identical shard.
+                            # gzip_level 6 (the gzip CLI default), not
+                            # Python's GzipFile default 9: level 9 cost
+                            # ~2x the deflate CPU of the whole write for
+                            # ~1% smaller shards (measured on the 2M-
+                            # record bench index — guide §2.3: codec
+                            # level is a measured trade, not a default)
                             member = _gzip.GzipFile(
-                                fileobj=raw, mode="wb", mtime=0
+                                fileobj=raw, mode="wb", mtime=0,
+                                compresslevel=gzip_level,
                             )
                     chunk = "\n".join(txt[i:i + take]) + "\n"
                     (member if member is not None else raw).write(

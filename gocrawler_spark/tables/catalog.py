@@ -471,15 +471,21 @@ class SnapshotCatalog:
                  "bytes_reclaimed": 0}
         if cur is None:
             return stats
+        live = self.snapshots(table)
         bounds = []
         if keep_last is not None:
-            bounds.append(cur - max(keep_last, 1) + 1)
+            # derive the bound from the LIVE snapshot list, not snapshot-
+            # id arithmetic: earlier expirations leave id gaps, and
+            # cur - k + 1 would then retain fewer than k actual
+            # snapshots (ADVICE r5)
+            k = max(keep_last, 1)
+            tail = live[-k:] if live else [cur]
+            bounds.append(tail[0] if tail else cur)
         if retain_from is not None:
             bounds.append(retain_from)
         if not bounds:
             return stats
         bound = min(min(bounds), cur)
-        live = self.snapshots(table)
         retained = [s for s in live if s >= bound]
         expired = [s for s in live if s < bound]
         if not expired:

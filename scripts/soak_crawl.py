@@ -72,7 +72,10 @@ def _soak(spark, args, pages, seeds, robots_df, profile, maintenance_every):
     while rnd <= cfg.max_rounds:
         t0 = time.time()
         m = job.run_round(rnd, pages)
-        if cfg.maintenance_every and rnd % cfg.maintenance_every == 0:
+        # mirror CrawlJob.run()'s ordering exactly: the done-probe round
+        # breaks BEFORE maintenance, so soak footprint numbers match
+        # what a production run() produces (ADVICE r5)
+        if not m.get("done") and cfg.maintenance_every and rnd % cfg.maintenance_every == 0:
             job.maintain()
         times.append(round(time.time() - t0, 3))
         fetched.append(m["fetched"])
