@@ -74,11 +74,27 @@ def select_fetch_set(
     w2 = Window.partitionBy(host_col).orderBy(*order)
     ranked = survivors.withColumn("fetch_rank", F.row_number().over(w2))
 
-    out = ranked.unionByName(rest).drop("_salt", "_r1")
-    return out.withColumn(
-        "is_selected",
-        F.coalesce(F.col("fetch_rank") <= credit, F.lit(False)),
+    # is_selected is decided PER BRANCH before the union (r6). Values
+    # are identical to the old post-union coalesce(fetch_rank <= credit,
+    # false) — survivors' fetch_rank is never null, rest's was null ->
+    # false — but the branch-local predicate keeps the selection filter
+    # a plain `row_number <= literal` comparison, which is the shape
+    # Spark's InsertWindowGroupLimit rule needs: a downstream
+    # .filter("is_selected") now plans phase 2 with a WindowGroupLimit
+    # (partial top-k below the host shuffle) instead of fully ranking
+    # every survivor. (The old coalesce() wrapper suppressed the rule —
+    # plan-diffed in plans/r06/schedule_dedupe_{before,after}.txt.)
+    # The per-row credit-column path keeps the coalesce: its credit can
+    # be nullable (so the bare comparison would loosen the column's
+    # nullability), and a non-literal bound never group-limits anyway.
+    sel = (
+        F.col("fetch_rank") <= credit
+        if credit_col is None
+        else F.coalesce(F.col("fetch_rank") <= credit, F.lit(False))
     )
+    ranked = ranked.withColumn("is_selected", sel)
+    rest = rest.withColumn("is_selected", F.lit(False))
+    return ranked.unionByName(rest).drop("_salt", "_r1")
 
 
 def host_stats(frontier: DataFrame, host_col: str = "host") -> DataFrame:

@@ -297,29 +297,71 @@ class CrawlJob:
         frontier.unpersist()
         self._checkpoint(round_no=0, metrics={"seeds": self._seen_count})
 
+    # gate for the driver-side seq-offset fast path: (priority, host)
+    # group counts up to this many rows collect to the driver (a few MB
+    # — metadata scale, the same tier as compile_robots' rule probe and
+    # the bucket-delta merge's touched-bucket collect); crawls with more
+    # live hosts keep the fully distributed two-level prefix sum
+    SEQ_DRIVER_MAX_GROUPS = 65_536
+
     def _assign_seq(self, fetch_set: DataFrame) -> DataFrame:
         """Dense global ``seq`` in the deterministic (priority, host,
-        url) order spec (O4), computed entirely on executors.
+        url) order spec (O4).
 
-        Round 1 collected per-(priority, host) counts to the driver —
-        bounded by hosts×priorities, a multi-GB collect at 10^8 hosts.
-        Replaced by a two-level exclusive prefix sum over the counts
-        DataFrame: level 1 groups hosts by a lexicographic host PREFIX
-        (order-preserving, unlike hash salting, so group offsets
-        concatenate in host order) and windows within each
-        (priority, prefix) group in parallel; level 2 chains one row
-        per group / per priority (tiny windows). No collect anywhere.
+        Two plans, picked by the fetch set's (priority, host) group
+        count (probed by the same aggregation that feeds both):
+
+        * ``<= SEQ_DRIVER_MAX_GROUPS`` (every real politeness-budgeted
+          round: the fetch set is hosts×credit by construction) — the
+          exclusive prefix sum over group counts is computed DRIVER-side
+          from one bounded collect and broadcast back; one aggregation
+          job + one broadcast join replace the distributed prefix-sum
+          tree's ~6 exchanges of metadata-sized tables, which at local
+          round cadence cost more in per-stage latency than the whole
+          round's compute (r6 event-log profile: the seq tree was ~1s of
+          a 5s round at 1.3k fetched rows).
+        * above the gate (a 10^8-host frontier) — the r2 two-level
+          prefix sum: level 1 groups hosts by a lexicographic host
+          PREFIX (order-preserving, unlike hash salting, so group
+          offsets concatenate in host order) and windows within each
+          (priority, prefix) group in parallel; level 2 chains one row
+          per group / per priority (tiny windows). No collect anywhere.
+
+        Both plans produce byte-identical seq values (the parity suite
+        pins exact (round, seq) against the golden simulator): the
+        driver path sorts groups by (priority, host) — the same total
+        order the prefix-grouped windows realize — and the final
+        within-host ranking window is shared.
         """
         k = self.cfg.seq_prefix_len
-        # cached: the counts subtree feeds three branches (within-group
-        # window, group totals, final join) — without the cache each
-        # branch re-aggregates fetch_set
         counts = (
             fetch_set.groupBy("priority", "host")
             .agg(F.count("*").alias("_cnt"))
             .withColumn("_grp", F.substring("host", 1, k))
-            .cache()
         )
+        head = counts.limit(self.SEQ_DRIVER_MAX_GROUPS + 1).collect()
+        if len(head) <= self.SEQ_DRIVER_MAX_GROUPS:
+            head.sort(key=lambda r: (r["priority"], r["host"]))
+            rows, off = [], 0
+            for r in head:
+                rows.append((int(r["priority"]), r["host"], off))
+                off += r["_cnt"]
+            off_df = self.spark.createDataFrame(
+                rows, "priority int, host string, _off long"
+            )
+            w_host = Window.partitionBy("priority", "host").orderBy("url")
+            return (
+                fetch_set.join(F.broadcast(off_df), ["priority", "host"])
+                .withColumn(
+                    "seq",
+                    (F.col("_off") + F.row_number().over(w_host)).cast("int"),
+                )
+                .drop("_off")
+            )
+        # cached: the counts subtree feeds three branches (within-group
+        # window, group totals, final join) — without the cache each
+        # branch re-aggregates fetch_set
+        counts = counts.cache()
         self._round_caches.append(counts)
         w_in = (
             Window.partitionBy("priority", "_grp")

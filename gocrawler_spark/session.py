@@ -54,6 +54,14 @@ def get_spark(
         shm = "/dev/shm/spark-local"
         os.makedirs(shm, exist_ok=True)
         b = b.config("spark.local.dir", shm)
+    # env-driven conf overrides (semicolon-separated k=v pairs): the
+    # deployment knob for cluster-side values — e.g. event logging for
+    # profiling, shuffle codec, adaptive sizes — without code edits.
+    # Applied before extra_conf so explicit caller args still win.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for kv in filter(None, env_conf.split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -178,17 +178,21 @@ def write_cdx(
         .sortWithinPartitions("urlkey", "ts")
         # the writer reads only (urlkey, line): dropping ts AFTER the
         # sort keeps it out of the Arrow crossing (guide §4.1: pass only
-        # the columns the function needs)
-        .select("urlkey", "line")
+        # the columns the function needs). The newline is appended
+        # JVM-side so the writer below can emit each block as ONE
+        # zero-copy slice of the Arrow data buffer.
+        .select("urlkey", F.concat("line", F.lit("\n")).alias("line"))
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches) -> "Iterator":
         import gzip as _gzip
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"{prefix}-{pid:05d}{ext}")
-        cols = ["path", "block", "first_key", "last_key", "n_records",
-                "offset", "length"]
         blocks: list[tuple] = []
         raw = open(path, "wb")
         member = None  # current block's gzip member (None when plain)
@@ -209,37 +213,53 @@ def write_cdx(
             blk_first, blk_last, blk_n = None, None, 0
 
         try:
-            for pdf in batches:
-                pdf = pdf[pdf["urlkey"].notna()]  # unkeyable — see cdx_lines
-                keys = pdf["urlkey"].to_numpy()
-                txt = pdf["line"].to_numpy()
-                i, n_rows = 0, len(keys)
-                # block-aligned chunks: ONE join + ONE write per chunk
-                # (a per-record Python write loop costs ~3x the whole
-                # index build — measured at 2M records)
+            for batch in batches:
+                keys = batch.column(0)
+                if keys.null_count:  # unkeyable — see cdx_lines
+                    batch = batch.filter(pc.is_valid(keys))
+                    keys = batch.column(0)
+                line_arr = batch.column(1)
+                # an Arrow string column is ONE contiguous utf-8 buffer
+                # plus offsets (guide §4.2): a block of rows [i, i+take)
+                # is written as a single slice of that buffer — no
+                # per-row Python strings, no join, no re-encode. (The
+                # pandas path before this materialized 2M Python str
+                # objects per shard wave and re-joined them; the writer
+                # stage dominated the whole index build.)
+                offs = np.frombuffer(
+                    line_arr.buffers()[1],
+                    # large_string (spark.sql.execution.arrow.
+                    # useLargeVarTypes=true) carries int64 offsets
+                    dtype=np.int64 if pa.types.is_large_string(line_arr.type) else np.int32,
+                    count=len(line_arr) + line_arr.offset + 1,
+                )
+                data = memoryview(line_arr.buffers()[2])
+                base = line_arr.offset
+                i, n_rows = 0, len(line_arr)
                 while i < n_rows:
                     take = min(block_size - blk_n, n_rows - i)
                     if blk_n == 0:
                         blk_off = raw.tell()
-                        blk_first = keys[i]
+                        blk_first = keys[i].as_py()
                         if gzip_shards:
                             # mtime=0, no filename field: identical
                             # input -> byte-identical shard.
                             # gzip_level 6 (the gzip CLI default), not
-                            # Python's GzipFile default 9: level 9 cost
-                            # ~2x the deflate CPU of the whole write for
-                            # ~1% smaller shards (measured on the 2M-
-                            # record bench index — guide §2.3: codec
+                            # Python's GzipFile default 9: measured on
+                            # 200k CDXJ lines, level 9 deflates 2.3x
+                            # slower for 0.3% smaller shards (1.11s vs
+                            # 0.48s, 8.0 MB both — guide §2.3: codec
                             # level is a measured trade, not a default)
                             member = _gzip.GzipFile(
                                 fileobj=raw, mode="wb", mtime=0,
                                 compresslevel=gzip_level,
                             )
-                    chunk = "\n".join(txt[i:i + take]) + "\n"
+                    start = int(offs[base + i])
+                    end = int(offs[base + i + take])
                     (member if member is not None else raw).write(
-                        chunk.encode("utf-8")
+                        data[start:end]
                     )
-                    blk_last = keys[i + take - 1]
+                    blk_last = keys[i + take - 1].as_py()
                     blk_n += take
                     i += take
                     if blk_n >= block_size:
@@ -249,9 +269,21 @@ def write_cdx(
             raw.close()
         if not blocks:
             os.remove(path)  # range partitioner may leave empty shards
-            yield pd.DataFrame(columns=cols)
         else:
-            yield pd.DataFrame(blocks, columns=cols)
+            cols = list(zip(*blocks))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.int64()),
+                    pa.array(cols[2], pa.string()),
+                    pa.array(cols[3], pa.string()),
+                    pa.array(cols[4], pa.int64()),
+                    pa.array(cols[5], pa.int64()),
+                    pa.array(cols[6], pa.int64()),
+                ],
+                names=["path", "block", "first_key", "last_key",
+                       "n_records", "offset", "length"],
+            )
 
     manifest_schema = StructType(
         [
@@ -265,7 +297,7 @@ def write_cdx(
         ]
     )
     rows = sorted(
-        (r.asDict() for r in lines.mapInPandas(run, manifest_schema).collect()),
+        (r.asDict() for r in lines.mapInArrow(run, manifest_schema).collect()),
         key=lambda m: (m["path"], m["block"]),
     )
     with open(os.path.join(out_dir, "cluster.idx"), "w", encoding="utf-8") as fh:
@@ -352,7 +384,13 @@ def _read_blocks(spark: SparkSession, blocks: list[tuple[str, int, int]]) -> Dat
     block's offset, reads exactly ``length`` bytes and decompresses one
     gzip member (length -1 = rest of file, the legacy whole-shard
     entry). On object storage the same slice is one ranged GET. Returns
-    (value: string) lines for :func:`_parse_cdx_values`."""
+    (value: string) lines for :func:`_parse_cdx_values`.
+
+    The Python side hands back ONE string per block; the line split
+    happens JVM-side (split + explode) — materializing a Python str
+    per line cost more than the whole ranged read (guide §4.2: keep
+    batch-level work in vectorized/native code, per-row work in the
+    engine)."""
     import gzip as _gzip
 
     spec = spark.createDataFrame(blocks, "path string, offset long, length long")
@@ -369,10 +407,15 @@ def _read_blocks(spark: SparkSession, blocks: list[tuple[str, int, int]]) -> Dat
                     blob = fh.read() if int(ln) < 0 else fh.read(int(ln))
                 if blob[:2] == b"\x1f\x8b":
                     blob = _gzip.decompress(blob)
-                out.extend(blob.decode("utf-8").splitlines())
-            yield pd.DataFrame({"value": out})
+                out.append(blob.decode("utf-8"))
+            yield pd.DataFrame({"blob": out})
 
-    return spec.mapInPandas(run, "value string")
+    blobs = spec.mapInPandas(run, "blob string")
+    # split on \n and drop the empties a trailing newline produces —
+    # CDXJ lines are never empty, so this equals the old splitlines()
+    return blobs.select(
+        F.explode(F.split("blob", "\n")).alias("value")
+    ).where(F.length("value") > 0)
 
 
 def cdx_lookup(
