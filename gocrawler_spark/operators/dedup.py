@@ -306,11 +306,20 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: shingle → xxhash64 → per-permutation min, all
     as JVM aggregate expressions (num_perm ``min()`` columns in one
-    map-side-combinable groupBy). Returns (doc_id, sig array<long>)."""
-    grams = token_ngrams(docs, n, text_col, id_col)
+    map-side-combinable groupBy). Returns (doc_id, sig array<long>).
+
+    ``grams``: pass an existing ``token_ngrams(docs, ...)`` DataFrame to
+    SHARE its subtree with other consumers (see minhash_lsh_pairs) —
+    each ``token_ngrams`` call builds fresh lambda-variable ids inside
+    its higher-order filter/transform expressions, which defeats
+    Spark's exchange-reuse canonicalization, so two textually identical
+    calls materialize the shingle shuffle twice."""
+    if grams is None:
+        grams = token_ngrams(docs, n, text_col, id_col)
     h = grams.select(id_col, F.pmod(_hash64(F.col("ngram"), hash_fn), F.lit(_PRIME)).alias("h"))
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_PRIME))).alias(f"m{i}")
@@ -341,7 +350,20 @@ def minhash_lsh_pairs(
     recall/precision never changes results, only cost."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, n, text_col, id_col, hash_fn)
+    # ONE gram stream (shared DataFrame object) feeds signatures, the
+    # verify join's two sides and the size table. Measured r6 notes:
+    # Spark does not exchange-reuse this subtree even when shared — the
+    # higher-order filter/transform lambdas defeat plan canonicalization
+    # (0 ReusedExchange in the formatted plan) — but the duplicate gram
+    # stages run CONCURRENTLY, so on an idle cluster their wall cost is
+    # ~one stage. Two attempted "fixes" both measured SLOWER end-to-end
+    # and were rejected: localCheckpointing grams (+15%: it serialized
+    # exactly the work the duplicates overlapped) and repartitioning a
+    # single-file corpus to cluster parallelism before the explode
+    # (+9%: the extra shuffle + stage rounds outweighed the wider fan).
+    grams = token_ngrams(docs, n, text_col, id_col)
+    sigs = minhash_signatures(docs, num_perm, n, text_col, id_col, hash_fn,
+                              grams=grams)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -364,8 +386,8 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    # verify candidates with exact jaccard (correctness never depends on LSH)
-    grams = token_ngrams(docs, n, text_col, id_col)
+    # verify candidates with exact jaccard (correctness never depends on
+    # LSH); same shared grams subtree as the signatures above
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     return _verify_pairs_exact(cands, grams, sizes, threshold, id_col)
 

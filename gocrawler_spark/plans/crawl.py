@@ -235,11 +235,12 @@ class CrawlJob:
 
     def load_robots(self, robots_df: DataFrame):
         self._robots_df = robots_df.cache()
-        self._robots_df.count()
         # probe/compile once: the rules table is static for the whole
         # run, and robots_filter's strategy probes are driver actions
         # per call (tiny single-rule tables additionally get the
-        # join-free map-literal plan)
+        # join-free map-literal plan). The probes' own full-table
+        # aggregation materializes the cache — the separate count()
+        # that used to precede them was a redundant extra job (r6).
         self._robots_compiled = compile_robots(self._robots_df)
         self._host_delays = self._robots_df.groupBy("host").agg(
             F.max("crawl_delay_ms").alias("crawl_delay_ms")
@@ -668,12 +669,21 @@ class CrawlJob:
         # archive_dir) so every task gets a worker up front and the
         # blocked dependents can never starve stats out of a slot.
         # Adding a task? Bump N_COMMIT_TASKS.
+        # frontier-drain probe (r6): when the opt-in analytics that can
+        # re-inject candidates are OFF, next round's selection input is
+        # exactly remainder + new_rows — counting it now (one cache-scan
+        # count riding the pool) lets run() skip the final all-fixed-
+        # cost probe round that would select 0 and return done. Gated
+        # off under trap_detection (starved hosts can un-trap) and
+        # recrawl (transient re-fetch candidates join at selection).
+        probe_drain = starved is None and cfg.recrawl_budget is None
         N_COMMIT_TASKS = (
             7
             + (1 if cfg.archive_dir else 0)
             + (1 if cfg.rank_hosts else 0)
             + (1 if cfg.recrawl_budget is not None else 0)
             + (1 if cfg.decode_charsets else 0)
+            + (1 if probe_drain else 0)
         )
         with ThreadPoolExecutor(max_workers=N_COMMIT_TASKS,
                                 thread_name_prefix="commit") as ex:
@@ -768,6 +778,7 @@ class CrawlJob:
                 ch_fut = ex.submit(
                     lambda: extracted.groupBy("charset").count().collect()
                 )
+            rem_fut = ex.submit(rem.count) if probe_drain else None
             # .result() re-raises any commit failure before checkpoint
             n_items = [f.result() for f in futs][2]
             stats = stats_fut.result()
@@ -794,6 +805,11 @@ class CrawlJob:
         }
         if charsets is not None:
             metrics["charsets"] = charsets
+        if rem_fut is not None:
+            # next round's selection input size (remainder + fresh
+            # candidates): run() drains without the final probe round
+            # when this is 0 (q45's from_json schema ignores extra keys)
+            metrics["frontier_next"] = rem_fut.result() + n_new
         self._checkpoint(rnd, metrics)
         sel.unpersist()
         fetch_set.unpersist()
@@ -1035,6 +1051,15 @@ class CrawlJob:
             history.append(m)
             if self.cfg.maintenance_every and rnd % self.cfg.maintenance_every == 0:
                 self.maintain()
+            if m.get("frontier_next") == 0:
+                # the round proved next round's selection input is empty
+                # (no re-injecting analytics active): the loop is drained
+                # — skip the probe round that would select 0 and return
+                # done, which at metadata-bounded round sizes costs a
+                # full selection pass of pure fixed latency. State and
+                # history are byte-identical: the probe round writes no
+                # checkpoint, no commits, and is never appended.
+                break
             rnd += 1
         if self.cfg.archive_dir and any(m["fetched"] for m in history):
             self.finalize_archive()

@@ -386,11 +386,9 @@ def _read_blocks(spark: SparkSession, blocks: list[tuple[str, int, int]]) -> Dat
     entry). On object storage the same slice is one ranged GET. Returns
     (value: string) lines for :func:`_parse_cdx_values`.
 
-    The Python side hands back ONE string per block; the line split
-    happens JVM-side (split + explode) — materializing a Python str
-    per line cost more than the whole ranged read (guide §4.2: keep
-    batch-level work in vectorized/native code, per-row work in the
-    engine)."""
+    (r6 note: a variant returning one blob per block with a JVM-side
+    split/explode was measured — warm it is a wash and its first run
+    pays extra codegen, so the per-line form stays.)"""
     import gzip as _gzip
 
     spec = spark.createDataFrame(blocks, "path string, offset long, length long")
@@ -407,15 +405,10 @@ def _read_blocks(spark: SparkSession, blocks: list[tuple[str, int, int]]) -> Dat
                     blob = fh.read() if int(ln) < 0 else fh.read(int(ln))
                 if blob[:2] == b"\x1f\x8b":
                     blob = _gzip.decompress(blob)
-                out.append(blob.decode("utf-8"))
-            yield pd.DataFrame({"blob": out})
+                out.extend(blob.decode("utf-8").splitlines())
+            yield pd.DataFrame({"value": out})
 
-    blobs = spec.mapInPandas(run, "blob string")
-    # split on \n and drop the empties a trailing newline produces —
-    # CDXJ lines are never empty, so this equals the old splitlines()
-    return blobs.select(
-        F.explode(F.split("blob", "\n")).alias("value")
-    ).where(F.length("value") > 0)
+    return spec.mapInPandas(run, "value string")
 
 
 def cdx_lookup(
