@@ -102,20 +102,25 @@ def host_trap_stats(
     `max_urls_per_template`-or-more of them. Null-host rows (relative /
     junk URLs) are excluded — admission drops them anyway.
     """
-    # distinct FIRST, on the url alone: host and template are
-    # deterministic functions of the url, so distinct(url) ≡
-    # distinct(host, template, url) and the counts are identical — but
-    # the one frontier-sized shuffle now carries only the url bytes
-    # (guide §2.3 "project before the exchange": the template string
-    # roughly doubled each shuffled row), and the regex templating runs
-    # AFTER the dedup, once per distinct url instead of once per row.
+    # Measured r6 note: a distinct(url)-FIRST variant (template regexes
+    # after the dedup, url-only bytes through the first exchange) is
+    # value-identical — host and template are deterministic functions
+    # of the url — and looked like guide §2.3 "project before the
+    # exchange", but it measured SLOWER in 4/4 order-alternating
+    # isolated A/B pairs (~10% median) on an 8M-row frontier: with
+    # near-all-distinct urls the early distinct prunes nothing, so the
+    # regex work is unchanged while the pipeline gains a full extra
+    # hash-aggregation pass over the frontier before any reduction.
+    # The map-side partial distinct below already collapses duplicate
+    # urls before they are shuffled, which is where a duplicated
+    # frontier actually wins.
     per_template = (
-        url_templates(
-            urls.select(F.col(url_col).alias("url")).distinct(), "url"
-        )
+        url_templates(urls, url_col)
         # null host = no scheme (parse_url contract); '' = empty
         # authority ('https:///x') — neither is crawlable
         .where(F.col("host").isNotNull() & (F.col("host") != ""))
+        .select("host", "template", F.col(url_col).alias("url"))
+        .distinct()
         .groupBy("host", "template")
         .agg(F.count(F.lit(1)).alias("t_urls"))
     )
